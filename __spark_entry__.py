@@ -1,38 +1,148 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship KG-construction query on sf0.001.
+queries()         — one callable per implemented operator (SURVEY §2).
+oracle_sql()      — DuckDB-equivalent SQL per query (same column names).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from renet2_spark import oracles
+from renet2_spark.corpus import (
+    derive_spans,
+    load_documents,
+    media_from_spans,
+    sentences_from_spans,
+)
+from renet2_spark.operators.normalize import canonicalize_mentions
+from renet2_spark.operators.pairgen import (
+    doc_pair_candidates,
+    pair_features,
+    sentence_pair_candidates,
+)
+from renet2_spark.operators.scorer import ensemble_vote, score_pairs
+from renet2_spark.operators.tagger import tag_mentions
+from renet2_spark.plans import pipeline
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG edge extraction over sf0.001."""
+    return pipeline.run(spark, "/root/testdata/sf0.001")
+
+
+# ---- spark-side query callables -----------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_documents(spark, sf_dir)
+
+
+def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = derive_spans(_docs(spark, sf_dir))
+    return canonicalize_mentions(
+        tag_mentions(sentences_from_spans(spans), spark)
+    )
+
+
+def q_corpus_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = derive_spans(_docs(spark, sf_dir))
+    text_spans = F.filter(F.col("spans"), lambda s: s["kind"] != F.lit("figure"))
+    media = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("figure"))
+    total = F.aggregate(
+        text_spans, F.lit(0).cast("bigint"), lambda a, s: a + F.length(s["text"])
+    ) + F.size(text_spans) - 1
+    return spans.select(
+        "doc_id",
+        F.size(text_spans).cast("int").alias("n_text_spans"),
+        F.size(media).cast("int").alias("n_media_spans"),
+        F.size("spans").cast("int").alias("n_spans"),
+        total.cast("bigint").alias("total_chars"),
+    )
+
+
+def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sentences_from_spans(derive_spans(_docs(spark, sf_dir)))
+
+
+def q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_from_spans(derive_spans(_docs(spark, sf_dir)))
+
+
+def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mentions(spark, sf_dir).select(
+        "doc_id", "sent_no", "tok_no", "start", "end", "mention", "type",
+        "entity_id",
+    )
+
+
+def q_mentions_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = derive_spans(_docs(spark, sf_dir))
+    return tag_mentions(sentences_from_spans(spans), spark).select(
+        "doc_id", "sent_no", "tok_no", "start", "end", "mention", "type",
+        "raw_id",
+    )
+
+
+def q_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sentence_pair_candidates(_mentions(spark, sf_dir))
+
+
+def q_pairs_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_pair_candidates(_mentions(spark, sf_dir))
+
+
+def q_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = ensemble_vote(
+        score_pairs(pair_features(_mentions(spark, sf_dir))), cutoff=0
+    )
+    return scored.select(
+        "doc_id", "gene_id", "disease_id", "n_cooc_sents", "n_g", "n_d",
+        "hit_cnt", "prob_avg",
+    )
+
+
+def q_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.build_edges(spark, _docs(spark, sf_dir))
+
+
+def q_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.build_nodes(spark, _docs(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_corpus_spans": q_corpus_spans,
+        "kg_sentences": q_sentences,
+        "kg_media": q_media,
+        "kg_mentions": q_mentions,
+        "kg_mentions_raw": q_mentions_raw,
+        "kg_pairs": q_pairs,
+        "kg_pairs_doc": q_pairs_doc,
+        "kg_scores": q_scores,
+        "kg_edges": q_edges,
+        "kg_nodes": q_nodes,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_corpus_spans": oracles.q_corpus_spans(),
+        "kg_sentences": oracles.q_sentences(),
+        "kg_media": oracles.q_media(),
+        "kg_mentions": oracles.q_mentions(canon=True),
+        "kg_mentions_raw": oracles.q_mentions(canon=False),
+        "kg_pairs": oracles.q_pairs(),
+        "kg_pairs_doc": oracles.q_pairs_doc(),
+        "kg_scores": oracles.q_scores(),
+        "kg_edges": oracles.q_edges(),
+        "kg_nodes": oracles.q_nodes(),
+    }

@@ -1,0 +1,164 @@
+"""Interleaved text+media span corpus (BASELINE.json input_hint).
+
+Primary input schema (per input_hint):
+    documents_spans(doc_id string,
+                    spans array<struct<kind string, text string,
+                                       media_ref string, offset int>>)
+
+The driver's testdata ships a flat ``documents(doc_id, text, ...)``
+table; :func:`derive_spans` deterministically lifts it into the
+interleaved schema — a pure-Catalyst expression (no Python), so the
+DuckDB oracle can reproduce every downstream result from the flat
+table with plain SQL.
+
+Derivation rule (fixed constants, seed-free):
+  * words = split(text, ' '); sentence s = words[10s : 10s+10]
+  * span kind: s=0 'title', s=1 'abstract', s>=2 'paragraph'
+    (reference analogue: docs.txt 5-line blocks title/abstract/body,
+    src/renet2/parse_data.py:419 + section headers parse_data.py:267)
+  * after paragraph s with (doc_id + s) % 7 == 0 an interleaved media
+    span: kind='figure', text='', media_ref='img://{doc_id}/{s}'
+  * offset = char offset of the span within ' '-joined doc text;
+    media spans carry the offset of the following text position
+
+Per-row invariant (input_hint): every pipeline stage preserves
+span-sequence equality on (kind, text, media_ref, order) — see
+tests/test_invariant.py and :func:`spans_fingerprint`.
+
+Scale note: derivation is row-local (narrow), no shuffle; at 10^12
+docs it pipelines with the parquet/Iceberg scan. Sentence explosion
+(:func:`sentences_from_spans`) is a generator-style posexplode —
+also narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SENT_WORDS = 10  # words per derived sentence
+MEDIA_MOD = 7  # media span after paragraph s iff (doc_id + s) % 7 == 0
+
+# span struct field order is part of the row invariant
+SPAN_FIELDS = ("kind", "text", "media_ref", "offset")
+
+
+def _span(kind: Column, text: Column, media_ref: Column, offset: Column) -> Column:
+    return F.struct(
+        kind.alias("kind"),
+        text.alias("text"),
+        media_ref.cast("string").alias("media_ref"),
+        offset.cast("int").alias("offset"),
+    )
+
+
+def derive_spans(documents: DataFrame) -> DataFrame:
+    """flat documents(doc_id, text) -> documents_spans(doc_id, spans).
+
+    Pure Catalyst (aggregate/transform higher-order fns): folds over
+    sentence indices accumulating (char_offset, spans).
+    """
+    words = F.split(F.col("text"), " ")
+    n_sent = F.ceil(F.size(words) / F.lit(SENT_WORDS)).cast("int")
+
+    def sent_text(s: Column) -> Column:
+        return F.array_join(F.slice(words, s * SENT_WORDS + 1, SENT_WORDS), " ")
+
+    def kind_of(s: Column) -> Column:
+        return (
+            F.when(s == 0, F.lit("title"))
+            .when(s == 1, F.lit("abstract"))
+            .otherwise(F.lit("paragraph"))
+        )
+
+    doc_id = F.col("doc_id").cast("string")
+
+    def step(acc: Column, s: Column) -> Column:
+        txt = sent_text(s)
+        nxt = acc["off"] + F.length(txt) + 1
+        text_span = _span(kind_of(s), txt, F.lit(None), acc["off"])
+        media_ref = F.concat(F.lit("img://"), doc_id, F.lit("/"), s.cast("string"))
+        media_span = _span(F.lit("figure"), F.lit(""), media_ref, nxt)
+        with_media = (s >= 2) & (
+            (F.col("doc_id").cast("long") + s) % MEDIA_MOD == 0
+        )
+        spans = F.concat(
+            acc["spans"],
+            F.when(with_media, F.array(text_span, media_span)).otherwise(
+                F.array(text_span)
+            ),
+        )
+        return F.struct(nxt.alias("off"), spans.alias("spans"))
+
+    empty = F.struct(
+        F.lit(0).cast("int").alias("off"),
+        F.array().cast(
+            "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+        ).alias("spans"),
+    )
+    spans = F.aggregate(
+        F.sequence(F.lit(0), n_sent - 1), empty, step, lambda acc: acc["spans"]
+    )
+    return documents.select(doc_id.alias("doc_id"), spans.alias("spans"))
+
+
+def spans_fingerprint(spans: Column = None) -> Column:
+    """Order-sensitive fingerprint of (kind, text, media_ref, order) —
+    the per-row invariant channel checked after every stage."""
+    spans = F.col("spans") if spans is None else spans
+    parts = F.transform(
+        spans,
+        lambda s, i: F.concat_ws(
+            "\x01",
+            i.cast("string"),
+            s["kind"],
+            s["text"],
+            F.coalesce(s["media_ref"], F.lit("\x02")),
+        ),
+    )
+    return F.md5(F.array_join(parts, "\x03"))
+
+
+def sentences_from_spans(docs_spans: DataFrame) -> DataFrame:
+    """documents_spans -> sentences(doc_id, sent_no, kind, sentence, offset).
+
+    Text spans only; sent_no = index among text spans (doubles as the
+    reference's section index, src/renet2/raw.py:1030-1032). Narrow op:
+    filter + posexplode, no shuffle.
+    """
+    text_spans = F.filter(F.col("spans"), lambda s: s["kind"] != F.lit("figure"))
+    return (
+        docs_spans.select(
+            "doc_id",
+            F.posexplode(text_spans).alias("sent_no", "span"),
+        )
+        .select(
+            "doc_id",
+            "sent_no",
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("sentence"),
+            F.col("span.offset").alias("offset"),
+        )
+    )
+
+
+def media_from_spans(docs_spans: DataFrame) -> DataFrame:
+    """documents_spans -> media(doc_id, media_no, media_ref, offset)."""
+    media = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("figure"))
+    return docs_spans.select(
+        "doc_id", F.posexplode(media).alias("media_no", "span")
+    ).select(
+        "doc_id",
+        "media_no",
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def load_documents(spark, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def load_corpus(spark, sf_dir: str) -> DataFrame:
+    """Read flat documents parquet and lift to the interleaved schema."""
+    return derive_spans(load_documents(spark, sf_dir))

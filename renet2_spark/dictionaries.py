@@ -1,0 +1,130 @@
+"""Entity dictionaries + canonicalization maps.
+
+The reference consumes PubTator NER output plus pickled dictionaries
+(reference: src/renet2/utils/ann_utils.py:10-11 human gene set,
+utils/omim2mesh.py:8-11 OMIM→MeSH map, utils/gene_transfer.py:7-8
+species→human gene map, utils/mesh_match.py:6-7 MeSH C→D validity).
+Our engine replaces the NER input with a dictionary+regex tagger
+(north_star) whose dictionaries below are defined over the synthetic
+corpus vocabulary — deterministically, so DuckDB oracles can inline
+the same mappings.
+
+RAW ids are deliberately "dirty" in the same ways the reference
+repairs in parse_ann_id (reference: src/renet2/parse_data.py:29-41):
+  genes:    ';'-multivalue (take first), '(tax:..)' suffix (strip),
+            species id needing Gene_transfer to the human id
+  diseases: 'MESH:' prefix (strip), 'OMIM:x' (map via omim2mesh),
+            ';'-multivalue (take first), C-prefix validity (mesh_match)
+
+Small dictionaries broadcast to every executor: as python dicts inside
+pandas UDFs (sc.broadcast) and as broadcast-hinted DataFrames for
+joins. At 10^12-doc scale these stay O(MB) — genuinely broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# surface -> raw id emitted by the tagger (pre-normalization)
+GENE_RAW: dict[str, str] = {
+    "scan": "1001",
+    "join": "1002",  # hot entity: present in ~96% of docs (skew fixture)
+    "hash": "1003",
+    "merge": "1004",
+    "filter": "1005",
+    "sort": "1006",
+    "window": "1007",
+    "vector": "2008(tax:10090);9999",  # strip parens, first of ';', transfer
+}
+
+DISEASE_RAW: dict[str, str] = {
+    "slow": "MESH:D0001",
+    "big": "MESH:D0002",
+    "small": "D0003",
+    "stream": "OMIM:600100",  # -> omim2mesh -> D0004
+    "dup": "MESH:C0005;D0009",  # first of ';' -> C0005, valid per c2d
+}
+
+# reference: utils/omim2mesh.py:12-19 — OMIM:x -> '|'.join(mesh list)
+OMIM2MESH: dict[str, list[str]] = {"600100": ["D0004"]}
+
+# reference: utils/gene_transfer.py:10-13 — species gene -> human gene(s)
+GENE_TRANSFER: dict[str, list[str]] = {"2008": ["1008"]}
+
+# reference: utils/mesh_match.py:6-14 — C-prefixed MeSH valid iff in dict
+MESH_C2D_VALID: set[str] = {"C0005"}
+
+# reference: utils/ann_utils.py:10-11 — human gene id set
+HUMAN_GENES: set[str] = {
+    "1001", "1002", "1003", "1004", "1005", "1006", "1007", "1008",
+}
+
+# canonical (post-normalization) ids — what the oracle SQL inlines
+GENE_CANON: dict[str, str] = {
+    "scan": "1001", "join": "1002", "hash": "1003", "merge": "1004",
+    "filter": "1005", "sort": "1006", "window": "1007", "vector": "1008",
+}
+DISEASE_CANON: dict[str, str] = {
+    "slow": "D0001", "big": "D0002", "small": "D0003",
+    "stream": "D0004", "dup": "C0005",
+}
+
+# token vocabulary for the neural scorer (reference: raw_handler.py:25-33;
+# OOV sentinel '[X]'). ids > 0; 0 is padding.
+CORPUS_WORDS = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+WORD_INDEX: dict[str, int] = {w: i + 1 for i, w in enumerate(CORPUS_WORDS)}
+WORD_INDEX["[X]"] = len(WORD_INDEX) + 1  # OOV sentinel
+VOCAB_SIZE = len(WORD_INDEX) + 1  # +1 for pad id 0
+
+
+def normalize_gene_id(raw: str) -> str:
+    """parse_ann_id gene path (reference: parse_data.py:33-41):
+    first of ';'-list, strip '(...)', species->human via Gene_transfer."""
+    g = raw.split(";")[0]
+    if "(" in g:
+        g = g[: g.find("(")]
+    if g in GENE_TRANSFER:
+        g = "|".join(GENE_TRANSFER[g])
+    return g
+
+
+def normalize_disease_id(raw: str) -> str:
+    """parse_ann_id disease path (reference: parse_data.py:29-33 +
+    utils/omim2mesh.py:12-19, utils/mesh_match.py:9-14)."""
+    d = raw
+    if d.startswith("MESH:"):
+        d = d[5:]
+    if d.startswith("OMIM:"):
+        omim = d[5:]
+        d = "|".join(OMIM2MESH.get(omim, [d]))
+    d = d.split(";")[0]
+    return d
+
+
+def gene_dict_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(s, r, GENE_CANON[s]) for s, r in GENE_RAW.items()],
+        "surface string, raw_id string, entity_id string",
+    )
+
+
+def disease_dict_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(s, r, DISEASE_CANON[s]) for s, r in DISEASE_RAW.items()],
+        "surface string, raw_id string, entity_id string",
+    )
+
+
+def entity_dict_df(spark: SparkSession) -> DataFrame:
+    """Union tagger dictionary: (surface, type, raw_id, entity_id)."""
+    rows = [(s, "Gene", r, GENE_CANON[s]) for s, r in GENE_RAW.items()] + [
+        (s, "Disease", r, DISEASE_CANON[s]) for s, r in DISEASE_RAW.items()
+    ]
+    return spark.createDataFrame(
+        rows, "surface string, type string, raw_id string, entity_id string"
+    )

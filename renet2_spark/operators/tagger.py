@@ -1,0 +1,177 @@
+"""Dictionary+regex mention tagger.
+
+Stands in for the reference's PubTator-provided NER annotations
+(anns.txt TSV `pmid, start, end, mention, type, id, section`, written
+src/renet2/parse_data.py:424, read src/renet2/raw.py:721-753). The
+north_star requires "a dictionary + regex tagger equivalent to
+GNormPlus/DNorm-style NER inputs".
+
+Two implementations with identical output (tests assert parity):
+
+* :func:`tag_mentions` — pure DataFrame: tokenize natively
+  (split/posexplode, whole-stage codegen) then broadcast-hash-join
+  token==surface against the entity dictionary. The corpus side is
+  never shuffled; the dictionary side is O(MB) and broadcast. This is
+  the 100 TB path.
+* :func:`tag_mentions_udf` — Arrow-vectorized pandas UDF running a
+  compiled alternation regex per text block (handles multi-word
+  surfaces / boundaries the token path can't). Kept for generality;
+  same schema.
+
+Output schema (FIXTURES.md §6, reference anns.txt analogue):
+    mentions(doc_id, sent_no, tok_no, start, end, mention, type, raw_id)
+start/end are char offsets into the whole reconstructed doc text
+(reference uses doc-level offsets, parse_data.py:242-248); sent_no is
+the section/sentence index (they coincide in this corpus — one derived
+sentence per text span).
+
+Mention-vs-text verification (reference F5, parse_data.py:137-144):
+:func:`verify_mentions` drops rows whose doc substring != mention.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..dictionaries import DISEASE_RAW, GENE_RAW, entity_dict_df
+
+
+def tokenize_sentences(sentences: DataFrame) -> DataFrame:
+    """sentences(doc_id, sent_no, sentence, offset) ->
+    tokens(doc_id, sent_no, tok_no, token, start, end).
+
+    Whitespace tokenizer with char offsets (the corpus is
+    pre-normalized; the reference's 50-rule punctuation tokenizer
+    lives in functions/text.py and is applied upstream for raw text —
+    reference: src/renet2/utils/tokenizer.py:16-110).
+
+    Narrow: posexplode only; start offsets come from a running fold
+    over token lengths (aggregate HOF), all JVM-side.
+    """
+    toks = F.split(F.col("sentence"), " ")
+    # char start of token i within sentence = sum(len+1 of tokens < i)
+    starts = F.aggregate(
+        toks,
+        F.struct(
+            F.lit(0).cast("int").alias("off"),
+            F.array().cast("array<int>").alias("acc"),
+        ),
+        lambda a, t: F.struct(
+            (a["off"] + F.length(t) + 1).cast("int").alias("off"),
+            F.concat(a["acc"], F.array(a["off"])).alias("acc"),
+        ),
+        lambda a: a["acc"],
+    )
+    pairs = F.arrays_zip(toks.alias("token"), starts.alias("s"))
+    return (
+        sentences.select(
+            "doc_id",
+            "sent_no",
+            "offset",
+            F.posexplode(pairs).alias("tok_no", "p"),
+        )
+        .select(
+            "doc_id",
+            "sent_no",
+            "tok_no",
+            F.col("p.token").alias("token"),
+            (F.col("offset") + F.col("p.s")).cast("int").alias("start"),
+            (F.col("offset") + F.col("p.s") + F.length("p.token"))
+            .cast("int")
+            .alias("end"),
+        )
+    )
+
+
+def tag_mentions(sentences: DataFrame, spark: SparkSession,
+                 entity_dict: DataFrame | None = None) -> DataFrame:
+    """Token-level dictionary tagger: broadcast join tokens x dict."""
+    d = entity_dict if entity_dict is not None else entity_dict_df(spark)
+    toks = tokenize_sentences(sentences)
+    return (
+        toks.join(
+            F.broadcast(d), F.lower(toks.token) == d.surface, "inner"
+        )
+        .select(
+            "doc_id",
+            "sent_no",
+            "tok_no",
+            "start",
+            "end",
+            F.col("token").alias("mention"),
+            "type",
+            "raw_id",
+        )
+    )
+
+
+_MENTION_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("sent_no", T.IntegerType()),
+        T.StructField("tok_no", T.IntegerType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("mention", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("raw_id", T.StringType()),
+    ]
+)
+
+
+def tag_mentions_udf(sentences: DataFrame) -> DataFrame:
+    """Regex tagger via mapInPandas (Arrow batches, no per-row Python
+    at the driver; one compiled automaton per batch)."""
+    import re
+
+    gene = {k: v for k, v in GENE_RAW.items()}
+    dis = {k: v for k, v in DISEASE_RAW.items()}
+    surfaces = sorted(list(gene) + list(dis), key=len, reverse=True)
+    pat = re.compile(r"(?<![\w])(" + "|".join(map(re.escape, surfaces)) + r")(?![\w])")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {c: [] for c in _MENTION_SCHEMA.fieldNames()}
+            for doc_id, sent_no, sentence, offset in zip(
+                pdf["doc_id"], pdf["sent_no"], pdf["sentence"], pdf["offset"]
+            ):
+                tok_no = -1
+                last = 0
+                for m in pat.finditer(sentence.lower()):
+                    tok_no = sentence.count(" ", 0, m.start())
+                    surf = m.group(1)
+                    typ = "Gene" if surf in gene else "Disease"
+                    rows["doc_id"].append(doc_id)
+                    rows["sent_no"].append(sent_no)
+                    rows["tok_no"].append(tok_no)
+                    rows["start"].append(offset + m.start())
+                    rows["end"].append(offset + m.end())
+                    rows["mention"].append(sentence[m.start() : m.end()])
+                    rows["type"].append(typ)
+                    rows["raw_id"].append(gene.get(surf) or dis[surf])
+                    last = m.end()
+            yield pd.DataFrame(rows)
+
+    cols = sentences.select("doc_id", "sent_no", "sentence", "offset")
+    return cols.mapInPandas(run, schema=_MENTION_SCHEMA)
+
+
+def verify_mentions(mentions: DataFrame, documents: DataFrame) -> DataFrame:
+    """Drop mentions whose doc-text substring mismatches (reference F5,
+    parse_data.py:137-144 / 287-295). Broadcast-joins the doc text in
+    only when verification is requested."""
+    docs = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return (
+        mentions.join(docs, "doc_id")
+        .filter(
+            F.expr("substring(text, start + 1, end - start)") == F.col("mention")
+        )
+        .drop("text")
+    )

@@ -1,0 +1,266 @@
+"""DuckDB oracle SQL for every SQL-expressible query.
+
+Each builder returns ANSI SQL that DuckDB runs on the driver's raw
+parquet views (documents, embeddings, lineitem, ...) reproducing the
+Spark pipeline's output exactly: same column names, same values. The
+corpus derivation constants (10-word sentences, media rule) and the
+entity dictionaries are inlined from the same python constants the
+Spark plans use — single source of truth.
+
+Float parity: the deterministic scorer is pure IEEE arithmetic
+(+,*,/ and clamp) with the SAME association order in both engines;
+no libm calls, so results are bit-identical before round().
+"""
+
+from __future__ import annotations
+
+from .dictionaries import DISEASE_CANON, DISEASE_RAW, GENE_CANON, GENE_RAW
+from .operators.scorer import BIAS, CUTOFF, MODEL_STEP, N_MODELS, W_CNT, W_COOC
+
+
+def _values(d: dict[str, str], cols: str) -> str:
+    rows = ", ".join(f"('{k}', '{v}')" for k, v in d.items())
+    return f"(VALUES {rows}) AS {cols}"
+
+
+def gdict(canon: bool = True) -> str:
+    return _values(GENE_CANON if canon else GENE_RAW, "g(surface, gene_id)")
+
+
+def ddict(canon: bool = True) -> str:
+    return _values(
+        DISEASE_CANON if canon else DISEASE_RAW, "d(surface, disease_id)"
+    )
+
+
+def edict_raw() -> str:
+    rows = ", ".join(
+        f"('{s}', 'Gene', '{r}')" for s, r in GENE_RAW.items()
+    ) + ", " + ", ".join(
+        f"('{s}', 'Disease', '{r}')" for s, r in DISEASE_RAW.items()
+    )
+    return f"(VALUES {rows}) AS e(surface, type, raw_id)"
+
+
+def edict_canon() -> str:
+    rows = ", ".join(
+        f"('{s}', 'Gene', '{GENE_CANON[s]}')" for s in GENE_RAW
+    ) + ", " + ", ".join(
+        f"('{s}', 'Disease', '{DISEASE_CANON[s]}')" for s in DISEASE_RAW
+    )
+    return f"(VALUES {rows}) AS e(surface, type, entity_id)"
+
+
+# ---- shared CTE fragments over the documents view -----------------------
+
+WORDS = """
+words AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS doc_num,
+         string_split("text", ' ') AS ws
+  FROM documents
+)"""
+
+SENTS = WORDS + """,
+sents AS (
+  SELECT doc_id, doc_num, CAST(t.s AS INT) AS sent_no,
+         list_slice(ws, t.s*10+1, t.s*10+10) AS sw, ws
+  FROM words,
+       unnest(range(CAST(ceil(len(ws)/10.0) AS BIGINT))) AS t(s)
+)"""
+
+TOKS = WORDS + """,
+toks AS (
+  SELECT doc_id, doc_num, ws, CAST(u.k - 1 AS INT) AS k, ws[u.k] AS token
+  FROM words, unnest(generate_series(1, len(ws))) AS u(k)
+)"""
+
+
+def q_corpus_spans() -> str:
+    """Aggregate view of the interleaved span derivation."""
+    return f"""
+WITH {WORDS},
+base AS (
+  SELECT doc_id, doc_num,
+         CAST(ceil(len(ws)/10.0) AS INT) AS n_text_spans,
+         length(array_to_string(ws, ' ')) AS total_chars
+  FROM words
+)
+SELECT doc_id,
+       n_text_spans,
+       CAST(len(list_filter(range(2, n_text_spans),
+                            s -> (doc_num + s) % 7 = 0)) AS INT) AS n_media_spans,
+       CAST(n_text_spans
+            + len(list_filter(range(2, n_text_spans),
+                              s -> (doc_num + s) % 7 = 0)) AS INT) AS n_spans,
+       CAST(total_chars AS BIGINT) AS total_chars
+FROM base
+"""
+
+
+def q_sentences() -> str:
+    return f"""
+WITH {SENTS}
+SELECT doc_id, sent_no,
+       CASE WHEN sent_no = 0 THEN 'title'
+            WHEN sent_no = 1 THEN 'abstract'
+            ELSE 'paragraph' END AS kind,
+       array_to_string(sw, ' ') AS sentence,
+       CAST(CASE WHEN sent_no = 0 THEN 0
+            ELSE length(array_to_string(ws[1:sent_no*10], ' ')) + 1
+            END AS INT) AS "offset"
+FROM sents
+"""
+
+
+def q_media() -> str:
+    return f"""
+WITH {WORDS},
+m AS (
+  SELECT doc_id, doc_num, ws, CAST(t.s AS INT) AS s
+  FROM words,
+       unnest(range(CAST(ceil(len(ws)/10.0) AS BIGINT))) AS t(s)
+  WHERE t.s >= 2 AND (doc_num + t.s) % 7 = 0
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT)
+         AS media_no,
+       'img://' || doc_id || '/' || CAST(s AS VARCHAR) AS media_ref,
+       CAST(length(array_to_string(ws[1:least((s+1)*10, len(ws))], ' ')) + 1
+            AS INT) AS "offset"
+FROM m
+"""
+
+
+def q_mentions(canon: bool = True) -> str:
+    ed = edict_canon() if canon else edict_raw()
+    idcol = "entity_id" if canon else "raw_id"
+    return f"""
+WITH {TOKS}
+SELECT doc_id,
+       CAST(k // 10 AS INT) AS sent_no,
+       CAST(k % 10 AS INT) AS tok_no,
+       CAST(CASE WHEN k = 0 THEN 0
+            ELSE length(array_to_string(ws[1:k], ' ')) + 1 END AS INT) AS start,
+       CAST(CASE WHEN k = 0 THEN 0
+            ELSE length(array_to_string(ws[1:k], ' ')) + 1 END
+            + length(token) AS INT) AS "end",
+       token AS mention, e.type AS type, e.{idcol} AS {idcol}
+FROM toks JOIN {ed} ON token = e.surface
+"""
+
+
+def _pairs_cte() -> str:
+    return f"""
+{SENTS},
+sg AS (
+  SELECT doc_id, sent_no, g.gene_id
+  FROM sents JOIN {gdict()} ON list_contains(sw, g.surface)
+),
+sd AS (
+  SELECT doc_id, sent_no, d.disease_id
+  FROM sents JOIN {ddict()} ON list_contains(sw, d.surface)
+),
+pairs AS (
+  SELECT doc_id, gene_id, disease_id, CAST(count(*) AS INT) AS n_cooc_sents
+  FROM sg JOIN sd USING (doc_id, sent_no)
+  GROUP BY 1, 2, 3
+)"""
+
+
+def q_pairs() -> str:
+    return f"WITH {_pairs_cte()} SELECT * FROM pairs"
+
+
+def q_pairs_doc() -> str:
+    return f"""
+WITH {TOKS},
+dg AS (SELECT DISTINCT doc_id, g.gene_id
+       FROM toks JOIN {gdict()} ON token = g.surface),
+dd AS (SELECT DISTINCT doc_id, d.disease_id
+       FROM toks JOIN {ddict()} ON token = d.surface)
+SELECT doc_id, gene_id, disease_id FROM dg JOIN dd USING (doc_id)
+"""
+
+
+def _features_cte() -> str:
+    return f"""
+{_pairs_cte()},
+tok AS (
+  SELECT doc_id, unnest(ws) AS token FROM words
+),
+gc AS (
+  SELECT doc_id, g.gene_id, CAST(count(*) AS INT) AS n_g
+  FROM tok JOIN {gdict()} ON token = g.surface GROUP BY 1, 2
+),
+dc AS (
+  SELECT doc_id, d.disease_id, CAST(count(*) AS INT) AS n_d
+  FROM tok JOIN {ddict()} ON token = d.surface GROUP BY 1, 2
+),
+feats AS (
+  SELECT p.doc_id, p.gene_id, p.disease_id, p.n_cooc_sents, gc.n_g, dc.n_d
+  FROM pairs p
+  JOIN gc ON p.doc_id = gc.doc_id AND p.gene_id = gc.gene_id
+  JOIN dc ON p.doc_id = dc.doc_id AND p.disease_id = dc.disease_id
+)"""
+
+
+def _prob_expr(i: int) -> str:
+    logit = (
+        f"({W_COOC} * CAST(n_cooc_sents AS DOUBLE)"
+        f" + {W_CNT} * (CAST(n_g AS DOUBLE) + CAST(n_d AS DOUBLE))"
+        f" + {BIAS} + {MODEL_STEP} * {float(i)})"
+    )
+    return f"greatest(0.0, least(1.0, 0.5 + {logit} / 8.0))"
+
+
+def _scored_cte() -> str:
+    probs_sum = " + ".join(_prob_expr(i) for i in range(N_MODELS))
+    hits = " + ".join(
+        f"(CASE WHEN {_prob_expr(i)} > 0.5 THEN 1 ELSE 0 END)"
+        for i in range(N_MODELS)
+    )
+    return f"""
+{_features_cte()},
+scored AS (
+  SELECT doc_id, gene_id, disease_id, n_cooc_sents, n_g, n_d,
+         CAST({hits} AS INT) AS hit_cnt,
+         round((0.0 + {probs_sum}) / {float(N_MODELS)}, 5) AS prob_avg
+  FROM feats
+)"""
+
+
+def q_scores() -> str:
+    return f"WITH {_scored_cte()} SELECT * FROM scored"
+
+
+def q_edges() -> str:
+    return f"""
+WITH {_scored_cte()},
+voted AS (SELECT * FROM scored WHERE hit_cnt >= {CUTOFF}),
+gnames AS (
+  SELECT doc_id, g.gene_id,
+         string_agg(DISTINCT token, '|' ORDER BY token) AS g_name
+  FROM tok JOIN {gdict()} ON token = g.surface GROUP BY 1, 2
+),
+dnames AS (
+  SELECT doc_id, d.disease_id,
+         string_agg(DISTINCT token, '|' ORDER BY token) AS d_name
+  FROM tok JOIN {ddict()} ON token = d.surface GROUP BY 1, 2
+)
+SELECT v.doc_id, v.gene_id, 'associated_with' AS predicate, v.disease_id,
+       gn.g_name, dn.d_name, v.prob_avg, v.hit_cnt
+FROM voted v
+JOIN gnames gn ON v.doc_id = gn.doc_id AND v.gene_id = gn.gene_id
+JOIN dnames dn ON v.doc_id = dn.doc_id AND v.disease_id = dn.disease_id
+"""
+
+
+def q_nodes() -> str:
+    return f"""
+WITH {TOKS}
+SELECT e.type AS type, e.entity_id AS entity_id,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM toks JOIN {edict_canon()} ON token = e.surface
+GROUP BY 1, 2
+"""
