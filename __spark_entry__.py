@@ -31,6 +31,9 @@ from renet2_spark.operators.pairgen import (
 )
 from renet2_spark.operators.scorer import ensemble_vote, score_pairs
 from renet2_spark.operators.tagger import tag_mentions
+from renet2_spark.operators import dedup as dd
+from renet2_spark.operators import similarity as sim
+from renet2_spark.functions import textstats as ts
 from renet2_spark.plans import pipeline
 
 
@@ -118,8 +121,13 @@ def q_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.build_nodes(spark, _docs(spark, sf_dir))
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # knowledge-graph construction pipeline (SURVEY §2)
         "kg_corpus_spans": q_corpus_spans,
         "kg_sentences": q_sentences,
         "kg_media": q_media,
@@ -130,6 +138,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_scores": q_scores,
         "kg_edges": q_edges,
         "kg_nodes": q_nodes,
+        # deduplication suite
+        "dedup_exact": lambda s, d: dd.dedup_exact(_docs(s, d)),
+        "dedup_ngram_jaccard": lambda s, d: dd.dedup_ngram_jaccard(_docs(s, d)),
+        "dedup_minhash_lsh": lambda s, d: dd.dedup_minhash_lsh(_docs(s, d)),
+        "text_simhash": lambda s, d: dd.simhash(_docs(s, d)),
+        "dedup_simhash": lambda s, d: dd.dedup_simhash(_docs(s, d)),
+        "dedup_embedding": lambda s, d: dd.dedup_embedding(_emb(s, d)),
+        # similarity search
+        "ann_topk_brute": lambda s, d: sim.ann_topk_brute(_emb(s, d)),
+        "ann_topk_lsh": lambda s, d: sim.ann_topk_lsh(_emb(s, d)),
+        # text analysis
+        "text_stats": lambda s, d: ts.text_stats(_docs(s, d)),
+        "lang_id": lambda s, d: ts.lang_id(_docs(s, d)),
+        "token_counts": lambda s, d: ts.token_counts(_docs(s, d)),
+        "fingerprint": lambda s, d: ts.fingerprint(_docs(s, d)),
     }
 
 
@@ -145,4 +168,17 @@ def oracle_sql() -> dict[str, str]:
         "kg_scores": oracles.q_scores(),
         "kg_edges": oracles.q_edges(),
         "kg_nodes": oracles.q_nodes(),
+        "dedup_exact": oracles.q_dedup_exact(),
+        "dedup_ngram_jaccard": oracles.q_dedup_ngram(),
+        "dedup_minhash_lsh": oracles.q_dedup_minhash(),
+        "text_simhash": oracles.q_simhash(),
+        "dedup_simhash": oracles.q_dedup_simhash(),
+        "dedup_embedding": oracles.q_dedup_embedding(),
+        "ann_topk_brute": oracles.q_ann_topk(),
+        # ann_topk_lsh is approximate — rows-only check; recall vs the
+        # brute-force baseline asserted in tests/test_similarity.py
+        "text_stats": oracles.q_text_stats(),
+        "lang_id": oracles.q_lang_id(),
+        "token_counts": oracles.q_token_counts(),
+        "fingerprint": oracles.q_fingerprint(),
     }

