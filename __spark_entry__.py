@@ -11,7 +11,35 @@ import os
 import sys
 from collections.abc import Callable
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# executor python workers must import renet2_spark too (UDF closures
+# reference it); PYTHONPATH covers workers forked before/without
+# addPyFile, addPyFile covers drivers launched from another cwd
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+_PKG_SHIPPED: set[str] = set()
+
+
+def _ship_pkg(spark) -> None:
+    """Make renet2_spark importable on executor python workers via a
+    zip + addPyFile (equivalent of spark-submit --py-files)."""
+    app = spark.sparkContext.applicationId
+    if app in _PKG_SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(tempfile.gettempdir(), "renet2_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(_REPO, "renet2_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, _REPO))
+    spark.sparkContext.addPyFile(zpath)
+    _PKG_SHIPPED.add(app)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -138,6 +166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_scores": q_scores,
         "kg_edges": q_edges,
         "kg_nodes": q_nodes,
+        # neural CNN+BiGRU ensemble variant (not SQL-expressible —
+        # rows-only driver check; NumPy-oracle golden test in
+        # tests/test_neural.py enforces P/R >= 0.95)
+        "kg_edges_neural": lambda s, d: (_ship_pkg(s), pipeline.run_neural(s, d))[1],
         # deduplication suite
         "dedup_exact": lambda s, d: dd.dedup_exact(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dd.dedup_ngram_jaccard(_docs(s, d)),

@@ -52,53 +52,71 @@ def _span(kind: Column, text: Column, media_ref: Column, offset: Column) -> Colu
     )
 
 
+def _sent_exprs(words: Column, s: Column) -> dict[str, Column]:
+    """Sentence s's (kind, text, offset) from the word array — ordinary
+    (whole-stage-codegen) expressions, NO lambda HOFs: Spark evaluates
+    higher-order-function lambdas interpreted, which measurably
+    bottlenecked the hot path (a fold-based variant of derive_spans
+    cost ~5ms/doc and throttled 32-core scaling via allocation/GC)."""
+    text = F.array_join(F.slice(words, s * SENT_WORDS + 1, SENT_WORDS), " ")
+    kind = (
+        F.when(s == 0, F.lit("title"))
+        .when(s == 1, F.lit("abstract"))
+        .otherwise(F.lit("paragraph"))
+    )
+    offset = F.when(s == 0, F.lit(0)).otherwise(
+        F.length(F.array_join(F.slice(words, 1, s * SENT_WORDS), " ")) + 1
+    )
+    return {"text": text, "kind": kind, "offset": offset.cast("int")}
+
+
+def sentences_direct(documents: DataFrame) -> DataFrame:
+    """flat documents -> sentences(doc_id, sent_no, kind, sentence,
+    offset) WITHOUT materializing the span structs — byte-identical to
+    sentences_from_spans(derive_spans(docs)) (asserted in tests), but
+    the whole derivation is codegen'd scalar expressions after a
+    posexplode. This is the pipeline's hot path."""
+    words = F.split(F.col("text"), " ")
+    n_sent = F.ceil(F.size(words) / F.lit(SENT_WORDS)).cast("int")
+    e = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        words.alias("ws"),
+        F.posexplode(F.sequence(F.lit(0), n_sent - 1)).alias("sent_no", "_s"),
+    )
+    sx = _sent_exprs(F.col("ws"), F.col("sent_no"))
+    return e.select(
+        "doc_id",
+        "sent_no",
+        sx["kind"].alias("kind"),
+        sx["text"].alias("sentence"),
+        sx["offset"].alias("offset"),
+    )
+
+
 def derive_spans(documents: DataFrame) -> DataFrame:
     """flat documents(doc_id, text) -> documents_spans(doc_id, spans).
 
-    Pure Catalyst (aggregate/transform higher-order fns): folds over
-    sentence indices accumulating (char_offset, spans).
-    """
+    One transform over sentence indices emitting 1-2 spans each (text
+    span, plus the interleaved media span when the media rule fires),
+    then flatten — no fold, offsets computed arithmetically."""
     words = F.split(F.col("text"), " ")
     n_sent = F.ceil(F.size(words) / F.lit(SENT_WORDS)).cast("int")
-
-    def sent_text(s: Column) -> Column:
-        return F.array_join(F.slice(words, s * SENT_WORDS + 1, SENT_WORDS), " ")
-
-    def kind_of(s: Column) -> Column:
-        return (
-            F.when(s == 0, F.lit("title"))
-            .when(s == 1, F.lit("abstract"))
-            .otherwise(F.lit("paragraph"))
-        )
-
     doc_id = F.col("doc_id").cast("string")
 
-    def step(acc: Column, s: Column) -> Column:
-        txt = sent_text(s)
-        nxt = acc["off"] + F.length(txt) + 1
-        text_span = _span(kind_of(s), txt, F.lit(None), acc["off"])
+    def per_sentence(s: Column) -> Column:
+        sx = _sent_exprs(words, s)
+        nxt = sx["offset"] + F.length(sx["text"]) + 1
+        text_span = _span(sx["kind"], sx["text"], F.lit(None), sx["offset"])
         media_ref = F.concat(F.lit("img://"), doc_id, F.lit("/"), s.cast("string"))
-        media_span = _span(F.lit("figure"), F.lit(""), media_ref, nxt)
+        media_span = _span(F.lit("figure"), F.lit(""), media_ref, nxt.cast("int"))
         with_media = (s >= 2) & (
             (F.col("doc_id").cast("long") + s) % MEDIA_MOD == 0
         )
-        spans = F.concat(
-            acc["spans"],
-            F.when(with_media, F.array(text_span, media_span)).otherwise(
-                F.array(text_span)
-            ),
+        return F.when(with_media, F.array(text_span, media_span)).otherwise(
+            F.array(text_span)
         )
-        return F.struct(nxt.alias("off"), spans.alias("spans"))
 
-    empty = F.struct(
-        F.lit(0).cast("int").alias("off"),
-        F.array().cast(
-            "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
-        ).alias("spans"),
-    )
-    spans = F.aggregate(
-        F.sequence(F.lit(0), n_sent - 1), empty, step, lambda acc: acc["spans"]
-    )
+    spans = F.flatten(F.transform(F.sequence(F.lit(0), n_sent - 1), per_sentence))
     return documents.select(doc_id.alias("doc_id"), spans.alias("spans"))
 
 

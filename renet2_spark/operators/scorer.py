@@ -44,6 +44,44 @@ def model_logit(n_cooc: Column, n_g: Column, n_d: Column, i: Column) -> Column:
     )
 
 
+def _prob_col(i: float) -> Column:
+    """Model i's piecewise-linear probability as an ordinary
+    (whole-stage-codegen) expression — float semantics identical to
+    the transform/aggregate HOF formulation and the DuckDB oracle."""
+    logit = model_logit(
+        F.col("n_cooc_sents").cast("double"),
+        F.col("n_g").cast("double"),
+        F.col("n_d").cast("double"),
+        F.lit(i),
+    )
+    return F.greatest(
+        F.lit(0.0), F.least(F.lit(1.0), F.lit(0.5) + logit / F.lit(8.0))
+    )
+
+
+def score_and_vote(pairs: DataFrame, cutoff: int = CUTOFF) -> DataFrame:
+    """Fused deterministic scorer + ensemble vote with zero lambda
+    HOFs (Spark evaluates HOF lambdas interpreted — measured hot in
+    the reduce stage). Adds hit_cnt, prob_avg, prob_X; filters by the
+    vote cutoff. Bit-identical to ensemble_vote(score_pairs(...)):
+    the prob sum keeps the same left-fold association."""
+    probs = [_prob_col(float(i)) for i in range(N_MODELS)]
+    hit = None
+    for p in probs:
+        term = F.when(p > F.lit(0.5), F.lit(1)).otherwise(F.lit(0))
+        hit = term if hit is None else hit + term
+    s = F.lit(0.0)
+    for p in probs:
+        s = s + p
+    prob_x = F.concat_ws(";", *[F.format_number(p, 5) for p in probs])
+    return (
+        pairs.withColumn("hit_cnt", hit.cast("int"))
+        .withColumn("prob_avg", F.round(s / F.lit(float(N_MODELS)), 5))
+        .withColumn("prob_X", prob_x)
+        .filter(F.col("hit_cnt") >= F.lit(cutoff))
+    )
+
+
 def score_pairs(pairs: DataFrame) -> DataFrame:
     """pairs(+features) -> + probs array<double>, per-model piecewise-
     linear 'sigmoid' clamp(0.5 + logit/8, 0, 1). Row-local, codegen."""
@@ -90,19 +128,16 @@ def ensemble_vote(scored: DataFrame, cutoff: int = CUTOFF) -> DataFrame:
     )
 
 
-def attach_names(edges: DataFrame, mentions: DataFrame) -> DataFrame:
-    """Name attachment (reference predict.py:162-203): join mentions
-    back per (doc_id, entity_id), '|'-join distinct surfaces. The
+def attach_names(edges: DataFrame, entity_info: DataFrame) -> DataFrame:
+    """Name attachment (reference predict.py:162-203): join the shared
+    per-(doc, entity) info table, '|'-joined distinct surfaces. The
     reference keeps first-seen order; distributed execution makes that
     nondeterministic, so we impose sorted order (documented in
     SURVEY §7.2d) — comparisons treat names as sets."""
-    names = mentions.groupBy("doc_id", "type", "entity_id").agg(
-        F.concat_ws("|", F.sort_array(F.collect_set("mention"))).alias("name")
-    )
-    g = names.filter(F.col("type") == "Gene").select(
+    g = entity_info.filter(F.col("type") == "Gene").select(
         "doc_id", F.col("entity_id").alias("gene_id"), F.col("name").alias("g_name")
     )
-    d = names.filter(F.col("type") == "Disease").select(
+    d = entity_info.filter(F.col("type") == "Disease").select(
         "doc_id",
         F.col("entity_id").alias("disease_id"),
         F.col("name").alias("d_name"),
@@ -110,10 +145,10 @@ def attach_names(edges: DataFrame, mentions: DataFrame) -> DataFrame:
     return edges.join(g, ["doc_id", "gene_id"]).join(d, ["doc_id", "disease_id"])
 
 
-def materialize_edges(voted: DataFrame, mentions: DataFrame) -> DataFrame:
+def materialize_edges(voted: DataFrame, entity_info: DataFrame) -> DataFrame:
     """Final triple table (reference gda_rst.tsv 7 columns,
     predict.py:203-213 / README.md:227-234) + fixed predicate."""
-    return attach_names(voted, mentions).select(
+    return attach_names(voted, entity_info).select(
         "doc_id",
         "gene_id",
         F.lit("associated_with").alias("predicate"),

@@ -43,48 +43,43 @@ from ..dictionaries import DISEASE_RAW, GENE_RAW, entity_dict_df
 
 def tokenize_sentences(sentences: DataFrame) -> DataFrame:
     """sentences(doc_id, sent_no, sentence, offset) ->
-    tokens(doc_id, sent_no, tok_no, token, start, end).
+    tokens(doc_id, sent_no, tok_no, token [, sentence, offset]).
 
-    Whitespace tokenizer with char offsets (the corpus is
-    pre-normalized; the reference's 50-rule punctuation tokenizer
-    lives in functions/text.py and is applied upstream for raw text —
+    Whitespace tokenizer (the corpus is pre-normalized; the
+    reference's 50-rule punctuation tokenizer lives in
+    functions/text.py and is applied upstream for raw text —
     reference: src/renet2/utils/tokenizer.py:16-110).
 
-    Narrow: posexplode only; start offsets come from a running fold
-    over token lengths (aggregate HOF), all JVM-side.
+    Narrow posexplode, O(tokens) allocation. Char offsets are NOT
+    computed here: a per-token prefix fold is O(T^2) allocation and
+    measurably collapses scaling at high core counts (GC-bound at 32
+    threads); offsets are attached downstream to mention rows only
+    (:func:`mention_offsets`) — a small fraction of tokens.
     """
     toks = F.split(F.col("sentence"), " ")
-    # char start of token i within sentence = sum(len+1 of tokens < i)
-    starts = F.aggregate(
-        toks,
-        F.struct(
-            F.lit(0).cast("int").alias("off"),
-            F.array().cast("array<int>").alias("acc"),
-        ),
-        lambda a, t: F.struct(
-            (a["off"] + F.length(t) + 1).cast("int").alias("off"),
-            F.concat(a["acc"], F.array(a["off"])).alias("acc"),
-        ),
-        lambda a: a["acc"],
+    return sentences.select(
+        "doc_id",
+        "sent_no",
+        "offset",
+        "sentence",
+        F.posexplode(toks).alias("tok_no", "token"),
     )
-    pairs = F.arrays_zip(toks.alias("token"), starts.alias("s"))
+
+
+def mention_offsets(tagged: DataFrame) -> DataFrame:
+    """Attach global char start/end to tagged token rows that still
+    carry (sentence, offset, tok_no): start = sentence offset + length
+    of the ' '-joined token prefix. O(T) per mention row."""
+    prefix = F.array_join(
+        F.slice(F.split(F.col("sentence"), " "), 1, F.col("tok_no")), " "
+    )
+    start = F.col("offset") + F.when(F.col("tok_no") == 0, 0).otherwise(
+        F.length(prefix) + 1
+    )
     return (
-        sentences.select(
-            "doc_id",
-            "sent_no",
-            "offset",
-            F.posexplode(pairs).alias("tok_no", "p"),
-        )
-        .select(
-            "doc_id",
-            "sent_no",
-            "tok_no",
-            F.col("p.token").alias("token"),
-            (F.col("offset") + F.col("p.s")).cast("int").alias("start"),
-            (F.col("offset") + F.col("p.s") + F.length("p.token"))
-            .cast("int")
-            .alias("end"),
-        )
+        tagged.withColumn("start", start.cast("int"))
+        .withColumn("end", (start + F.length("token")).cast("int"))
+        .drop("sentence", "offset")
     )
 
 
@@ -93,20 +88,18 @@ def tag_mentions(sentences: DataFrame, spark: SparkSession,
     """Token-level dictionary tagger: broadcast join tokens x dict."""
     d = entity_dict if entity_dict is not None else entity_dict_df(spark)
     toks = tokenize_sentences(sentences)
-    return (
-        toks.join(
-            F.broadcast(d), F.lower(toks.token) == d.surface, "inner"
-        )
-        .select(
-            "doc_id",
-            "sent_no",
-            "tok_no",
-            "start",
-            "end",
-            F.col("token").alias("mention"),
-            "type",
-            "raw_id",
-        )
+    tagged = toks.join(
+        F.broadcast(d), F.lower(toks.token) == d.surface, "inner"
+    )
+    return mention_offsets(tagged).select(
+        "doc_id",
+        "sent_no",
+        "tok_no",
+        "start",
+        "end",
+        F.col("token").alias("mention"),
+        "type",
+        "raw_id",
     )
 
 
@@ -174,4 +167,40 @@ def verify_mentions(mentions: DataFrame, documents: DataFrame) -> DataFrame:
             F.expr("substring(text, start + 1, end - start)") == F.col("mention")
         )
         .drop("text")
+    )
+
+
+def tag_mentions_fast(documents: DataFrame, spark: SparkSession,
+                      entity_dict: DataFrame | None = None) -> DataFrame:
+    """Allocation-lean tagger for the scoring pipeline: split once,
+    posexplode word positions, broadcast-join the dictionary —
+    sentence strings are never materialized (sent_no/tok_no derive
+    arithmetically from the global word index k: the corpus packs
+    exactly SENT_WORDS words per sentence). Char offsets are omitted;
+    downstream pair generation/scoring never reads them, and the
+    offset-bearing variant (tag_mentions) serves extraction queries.
+
+    Rationale: the sentence-string path allocates O(doc chars) per
+    sentence + per mention; at 32 local cores the job became memory-
+    bandwidth/GC-bound and stopped scaling. This path's only per-token
+    allocation is the token string itself.
+    """
+    from ..corpus import SENT_WORDS
+
+    d = entity_dict if entity_dict is not None else entity_dict_df(spark)
+    words = F.split(F.col("text"), " ")
+    tok = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.posexplode(words).alias("k", "token"),
+    )
+    return (
+        tok.join(F.broadcast(d), F.lower(tok.token) == d.surface, "inner")
+        .select(
+            "doc_id",
+            (F.col("k") / SENT_WORDS).cast("int").alias("sent_no"),
+            F.pmod(F.col("k"), F.lit(SENT_WORDS)).cast("int").alias("tok_no"),
+            F.col("token").alias("mention"),
+            "type",
+            "raw_id",
+        )
     )

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..corpus import derive_spans, load_documents, sentences_from_spans
+from ..corpus import (
+    derive_spans,
+    load_documents,
+    sentences_direct,
+    sentences_from_spans,
+)
 from ..operators.normalize import canonicalize_mentions
 from ..operators.pairgen import pair_features
 from ..operators.scorer import (
@@ -36,18 +41,71 @@ from ..operators.tagger import tag_mentions
 
 
 def build_mentions(spark: SparkSession, documents: DataFrame) -> DataFrame:
-    spans = derive_spans(documents)
-    sentences = sentences_from_spans(spans)
-    return canonicalize_mentions(tag_mentions(sentences, spark))
+    # allocation-lean tagger: no sentence strings, no char offsets
+    # (pair-gen/scoring never read them); equals the span-derived
+    # tagger on (doc_id, sent_no, tok_no, mention, type) — asserted
+    # in tests/test_invariant.py
+    from ..operators.tagger import tag_mentions_fast
+
+    return canonicalize_mentions(tag_mentions_fast(documents, spark))
 
 
 def build_edges(
-    spark: SparkSession, documents: DataFrame, cutoff: int = CUTOFF
+    spark: SparkSession,
+    documents: DataFrame,
+    cutoff: int = CUTOFF,
+    store=None,
 ) -> DataFrame:
+    """documents -> edges. The mentions table fans out into five
+    consumers (pair-gen, gene/disease evidence counts, gene/disease
+    name attachment); recomputing its DAG per branch is the dominant
+    cost (measured 5x ~40s vs 2.7s total at sf0.1), so it is
+    materialized once: via the CheckpointStore (the production path —
+    an Iceberg stage table with per-partition lineage, resumable) or
+    an in-memory persist for ad-hoc runs."""
+    from ..operators.pairgen import entity_info, sentence_pair_candidates
+    from ..operators.scorer import score_and_vote
+
     mentions = build_mentions(spark, documents)
-    pairs = pair_features(mentions)
-    voted = ensemble_vote(score_pairs(pairs), cutoff=cutoff)
-    return materialize_edges(voted, mentions)
+    if store is not None:
+        # production path: mentions materialized as a lineage-tracked,
+        # resumable stage table; the three consumers below read it
+        # columnar instead of recomputing the tag chain
+        mentions = store.run_stage("mentions", mentions, lambda df: df)
+    # Join-shaped plan — measured fastest and best-scaling of three
+    # alternatives (in-memory persist: block-manager contention at
+    # high core counts; fused per-doc HOF arrays: lambda HOFs evaluate
+    # interpreted, 2x slower). All shuffle/join keys include doc_id,
+    # so hot entities cannot skew any exchange; aggregations are
+    # codegen'd built-ins with map-side partial aggregation.
+    pairs = sentence_pair_candidates(mentions)
+    info = entity_info(mentions)
+    g = info.filter(F.col("type") == "Gene").select(
+        "doc_id",
+        F.col("entity_id").alias("gene_id"),
+        F.col("n_mentions").alias("n_g"),
+        F.col("name").alias("g_name"),
+    )
+    d = info.filter(F.col("type") == "Disease").select(
+        "doc_id",
+        F.col("entity_id").alias("disease_id"),
+        F.col("n_mentions").alias("n_d"),
+        F.col("name").alias("d_name"),
+    )
+    enriched = pairs.join(g, ["doc_id", "gene_id"]).join(
+        d, ["doc_id", "disease_id"]
+    )
+    voted = score_and_vote(enriched, cutoff=cutoff)
+    return voted.select(
+        "doc_id",
+        "gene_id",
+        F.lit("associated_with").alias("predicate"),
+        "disease_id",
+        "g_name",
+        "d_name",
+        "prob_avg",
+        "hit_cnt",
+    )
 
 
 def build_nodes(spark: SparkSession, documents: DataFrame) -> DataFrame:
@@ -56,7 +114,7 @@ def build_nodes(spark: SparkSession, documents: DataFrame) -> DataFrame:
     straggler reducer (operators/skew.py)."""
     from ..operators.skew import salted_count
 
-    mentions = build_mentions(spark, documents)
+    mentions = build_mentions(spark, documents).persist()
     return salted_count(
         mentions,
         keys=["type", "entity_id"],
@@ -65,5 +123,41 @@ def build_nodes(spark: SparkSession, documents: DataFrame) -> DataFrame:
     )
 
 
+def build_edges_neural(
+    spark: SparkSession,
+    documents: DataFrame,
+    cutoff: int = CUTOFF,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Edges scored by the CNN+BiGRU NumPy ensemble (operators/neural)
+    instead of the deterministic scorer; vote semantics identical
+    (reference predict.py:104-140, threshold 0.5 train.py:564)."""
+    from ..operators.neural import neural_score_pairs
+    from ..operators.pairgen import entity_info
+    from ..operators.scorer import N_MODELS
+
+    sentences = sentences_direct(documents).persist()
+    mentions = canonicalize_mentions(tag_mentions(sentences, spark)).persist()
+    info = entity_info(mentions).persist()
+    pairs = pair_features(mentions, info=info)
+    scored = neural_score_pairs(pairs, sentences, mentions)
+    hit = F.size(F.filter(F.col("probs"), lambda p: p > F.lit(threshold)))
+    prob_avg = F.round(
+        F.aggregate(F.col("probs"), F.lit(0.0), lambda a, p: a + p)
+        / F.lit(float(N_MODELS)),
+        5,
+    )
+    voted = (
+        scored.withColumn("hit_cnt", hit.cast("int"))
+        .withColumn("prob_avg", prob_avg)
+        .filter(F.col("hit_cnt") >= F.lit(cutoff))
+    )
+    return materialize_edges(voted, info)
+
+
 def run(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_edges(spark, load_documents(spark, sf_dir))
+
+
+def run_neural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_edges_neural(spark, load_documents(spark, sf_dir))

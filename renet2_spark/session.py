@@ -22,11 +22,12 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    # local[N] -> match shuffle partitions to N (avoid 200 tiny tasks);
-    # on a real cluster pass shuffle_partitions explicitly.
+    # local[N] -> 4N shuffle partitions (load-balance reduce stages;
+    # N-partition reduces gate on the slowest task). On a real cluster
+    # pass shuffle_partitions explicitly (2-3x total cores).
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
-        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+        shuffle_partitions = 128 if n == "*" else max(8, 4 * int(n))
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)

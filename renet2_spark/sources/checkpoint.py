@@ -1,0 +1,158 @@
+"""Per-stage checkpointing with partition lineage + metrics tables.
+
+north_rule: "checkpoints per-partition progress with lineage and
+metrics tables so any stage resumes idempotently". The reference's
+analogue is the pickle feature cache keyed by build params
+(src/renet2/raw_handler.py:117-187) and per-batch result files later
+unioned (src/renet2/predict.py:383-443) — single-node, no lineage.
+
+Design (Iceberg in production, parquet dirs here — same layout):
+
+  <root>/<stage>/data/part_key=<k>/...   stage output, partitioned by
+                                         a stable input fingerprint
+  <root>/<stage>/lineage/                (stage, part_key,
+                                         input_fingerprint, status,
+                                         rows_out, updated_at)
+  <root>/metrics/                        (stage, metric, value)
+
+``run_stage`` is idempotent: a partition whose (part_key,
+input_fingerprint) is already COMMITTED in lineage is skipped on
+resume; anything else is (re)computed and overwritten atomically via
+dynamic partition overwrite. part_key = hash-bucket of doc_id, so the
+unit of resume is stable under repartitioning and cluster size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "stage string, part_key int, input_fingerprint string, status string, "
+    "rows_out long, updated_at timestamp"
+)
+
+
+def with_part_key(df: DataFrame, key_col: str = "doc_id", buckets: int = 32) -> DataFrame:
+    return df.withColumn(
+        "part_key", F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets)).cast("int")
+    )
+
+
+def input_fingerprint(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """(part_key, input_fingerprint) — order-insensitive md5-xor digest
+    per partition bucket; changes iff the bucket's input rows change."""
+    h = F.md5(F.col(key_col).cast("string"))
+    return (
+        df.groupBy("part_key")
+        .agg(
+            F.count("*").alias("n"),
+            # xor-fold of row hashes: commutative -> order-insensitive
+            F.sum(F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)"))
+            .cast("string")
+            .alias("digest"),
+        )
+        .select(
+            "part_key",
+            F.md5(F.concat_ws(":", "n", "digest")).alias("input_fingerprint"),
+        )
+    )
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def _lineage_path(self, stage: str) -> str:
+        return os.path.join(self.root, stage, "lineage")
+
+    def _data_path(self, stage: str) -> str:
+        return os.path.join(self.root, stage, "data")
+
+    def lineage(self, stage: str) -> DataFrame:
+        p = self._lineage_path(stage)
+        try:
+            return self.spark.read.parquet(p)
+        except Exception:
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+
+    def committed(self, stage: str) -> DataFrame:
+        """Latest lineage row per part_key, filtered to COMMITTED."""
+        from pyspark.sql import Window as W
+
+        lin = self.lineage(stage)
+        w = W.partitionBy("part_key").orderBy(F.desc("updated_at"))
+        return (
+            lin.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("status") == "COMMITTED"))
+            .drop("_rn")
+        )
+
+    def run_stage(
+        self,
+        stage: str,
+        inp: DataFrame,
+        transform,
+        key_col: str = "doc_id",
+        buckets: int = 32,
+    ) -> DataFrame:
+        """Compute `transform(inp)` checkpointed per partition bucket;
+        resumes past COMMITTED buckets whose input fingerprint is
+        unchanged. Returns the stage output DataFrame (reading back
+        from the checkpoint so downstream stages see one lineage)."""
+        keyed = with_part_key(inp, key_col, buckets)
+        fps = input_fingerprint(keyed, key_col)
+        done = self.committed(stage).select(
+            "part_key", F.col("input_fingerprint").alias("_done_fp")
+        )
+        todo_keys = (
+            fps.join(done, "part_key", "left")
+            .filter(
+                F.col("_done_fp").isNull()
+                | (F.col("_done_fp") != F.col("input_fingerprint"))
+            )
+            .select("part_key", "input_fingerprint")
+        )
+        todo = [
+            (r["part_key"], r["input_fingerprint"]) for r in todo_keys.collect()
+        ]
+        if todo:
+            part_keys = [k for k, _ in todo]
+            subset = keyed.filter(F.col("part_key").isin(part_keys))
+            out = transform(subset.drop("part_key"))
+            out = with_part_key(out, key_col, buckets)
+            # atomic per-partition replace (dynamic overwrite)
+            out.write.mode("overwrite").partitionBy("part_key").parquet(
+                self._data_path(stage)
+            )
+            counts = {
+                r["part_key"]: r["n"]
+                for r in out.groupBy("part_key").agg(F.count("*").alias("n")).collect()
+            }
+            lin_rows = [
+                (stage, int(k), fp, "COMMITTED", int(counts.get(k, 0)))
+                for k, fp in todo
+            ]
+            self.spark.createDataFrame(
+                lin_rows,
+                "stage string, part_key int, input_fingerprint string, "
+                "status string, rows_out long",
+            ).withColumn("updated_at", F.current_timestamp()).write.mode(
+                "append"
+            ).parquet(self._lineage_path(stage))
+        return self.spark.read.parquet(self._data_path(stage)).drop("part_key")
+
+    def record_metrics(self, stage: str, metrics: dict[str, float]) -> None:
+        self.spark.createDataFrame(
+            [(stage, k, float(v)) for k, v in metrics.items()],
+            "stage string, metric string, value double",
+        ).withColumn("updated_at", F.current_timestamp()).write.mode(
+            "append"
+        ).parquet(os.path.join(self.root, "metrics"))
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "metrics"))

@@ -1,0 +1,93 @@
+"""Resumability: kill-and-resume semantics via the per-partition
+lineage table (north_rule)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from renet2_spark.sources.checkpoint import CheckpointStore, with_part_key
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="ckpt_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+
+
+def test_stage_runs_and_resumes_noop(spark, root):
+    store = CheckpointStore(spark, root)
+    calls = []
+
+    def transform(df):
+        calls.append(1)
+        return df.withColumn("n_chars2", F.length("text"))
+
+    out1 = store.run_stage("stats", _docs(spark), transform)
+    assert out1.count() == 500
+    assert store.committed("stats").count() == 32
+    # resume: nothing to do, transform not invoked again
+    n_calls = len(calls)
+    out2 = store.run_stage("stats", _docs(spark), transform)
+    assert out2.count() == 500
+    assert len(calls) == n_calls
+
+
+def test_partial_failure_resume_recomputes_only_missing(spark, root):
+    store = CheckpointStore(spark, root)
+
+    def transform(df):
+        return df.withColumn("n_chars2", F.length("text"))
+
+    store.run_stage("stats", _docs(spark), transform)
+    # simulate a crash that lost 3 partitions' lineage commits
+    lin = store.lineage("stats")
+    keep = lin.filter(~F.col("part_key").isin([0, 1, 2]))
+    keep.write.mode("overwrite").parquet(root + "/stats/lineage_tmp")
+    shutil.rmtree(root + "/stats/lineage")
+    shutil.move(root + "/stats/lineage_tmp", root + "/stats/lineage")
+    assert store.committed("stats").count() == 29
+
+    seen = []
+
+    def transform2(df):
+        seen.append(df.select("doc_id").count())
+        return df.withColumn("n_chars2", F.length("text"))
+
+    out = store.run_stage("stats", _docs(spark), transform2)
+    # only the 3 lost buckets were recomputed...
+    keyed = with_part_key(_docs(spark))
+    expected = keyed.filter(F.col("part_key").isin([0, 1, 2])).count()
+    assert seen == [expected]
+    # ...and the final output is complete and deduplicated
+    assert out.count() == 500
+    assert out.select("doc_id").distinct().count() == 500
+
+
+def test_input_change_invalidates_bucket(spark, root):
+    store = CheckpointStore(spark, root)
+
+    def transform(df):
+        return df.withColumn("n_chars2", F.length("text"))
+
+    store.run_stage("stats", _docs(spark), transform)
+    # drop one doc -> exactly the buckets containing it recompute
+    docs2 = _docs(spark).filter(F.col("doc_id") != "7")
+    out = store.run_stage("stats", docs2, transform)
+    assert out.count() == 499
+
+
+def test_metrics_roundtrip(spark, root):
+    store = CheckpointStore(spark, root)
+    store.record_metrics("tag", {"docs_per_sec": 123.4, "mentions": 11233})
+    m = {r["metric"]: r["value"] for r in store.metrics().collect()}
+    assert m["docs_per_sec"] == 123.4

@@ -85,3 +85,12 @@ def test_offsets_match_doc_text(spark):
         F.expr("substring(text, offset + 1, length(sentence))"),
     )
     assert j.filter(F.col("cut") != F.col("sentence")).count() == 0
+
+
+def test_sentences_direct_equals_span_path(spark):
+    from renet2_spark.corpus import sentences_direct
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = sentences_direct(docs)
+    b = sentences_from_spans(derive_spans(docs))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

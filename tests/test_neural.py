@@ -1,0 +1,129 @@
+"""Golden test for the neural scorer: an independent driver-side NumPy
+oracle recomputes every pair's ensemble probabilities from the raw
+parquet (via DuckDB, no Spark), and the resulting triples must match
+the Spark pipeline at P/R >= 0.95 (BASELINE north_rule; in practice
+they match exactly). Plus batching-invariance: results must not depend
+on Arrow batch boundaries."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from renet2_spark.dictionaries import (
+    DISEASE_CANON,
+    GENE_CANON,
+    WORD_INDEX,
+)
+from renet2_spark.operators.neural import N_MODELS, score_batch
+from renet2_spark.plans.pipeline import build_edges_neural, run_neural
+from renet2_spark.operators.scorer import CUTOFF
+from tests.conftest import SF_SMOKE
+
+
+def numpy_oracle_triples(sf_dir: str):
+    """Independent recompute: pandas/duckdb corpus derivation ->
+    tensors -> score_batch -> vote. Shares only the math kernel
+    (score_batch) with the pipeline, not any Spark plan."""
+    docs = duckdb.sql(
+        f"SELECT CAST(doc_id AS VARCHAR) doc_id, \"text\" "
+        f"FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).df()
+    oov = WORD_INDEX["[X]"]
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        words = text.split(" ")
+        sents = [words[i : i + 10] for i in range(0, len(words), 10)]
+        tok_ids = [[WORD_INDEX.get(w, oov) for w in s] for s in sents]
+        ments, genes, diseases = [], {}, {}
+        for si, s in enumerate(sents):
+            for ti, w in enumerate(s):
+                if w in GENE_CANON:
+                    ments.append(
+                        {"sent_no": si, "tok_no": ti, "type": "Gene",
+                         "entity_id": GENE_CANON[w]}
+                    )
+                    genes.setdefault(GENE_CANON[w], set()).add(si)
+                elif w in DISEASE_CANON:
+                    ments.append(
+                        {"sent_no": si, "tok_no": ti, "type": "Disease",
+                         "entity_id": DISEASE_CANON[w]}
+                    )
+                    diseases.setdefault(DISEASE_CANON[w], set()).add(si)
+        for g, gs in genes.items():
+            for d, ds in diseases.items():
+                if gs & ds:  # sentence co-occurrence candidates
+                    rows.append(
+                        {"doc_id": doc_id, "gene_id": g, "disease_id": d,
+                         "tok_ids": tok_ids, "ments": ments}
+                    )
+    pdf = pd.DataFrame(rows)
+    triples = set()
+    for lo in range(0, len(pdf), 512):
+        chunk = pdf.iloc[lo : lo + 512].reset_index(drop=True)
+        probs = score_batch(chunk)
+        hits = (probs > 0.5).sum(axis=1)
+        for i in np.nonzero(hits >= CUTOFF)[0]:
+            r = chunk.iloc[int(i)]
+            triples.add((r["doc_id"], r["gene_id"], r["disease_id"]))
+    return triples
+
+
+@pytest.fixture(scope="module")
+def oracle_triples():
+    return numpy_oracle_triples(SF_SMOKE)
+
+
+def test_neural_pipeline_matches_numpy_oracle(spark, oracle_triples):
+    got = {
+        (r["doc_id"], r["gene_id"], r["disease_id"])
+        for r in run_neural(spark, SF_SMOKE).collect()
+    }
+    assert oracle_triples, "oracle produced no positives — fixture broken"
+    inter = got & oracle_triples
+    precision = len(inter) / len(got) if got else 0.0
+    recall = len(inter) / len(oracle_triples)
+    # north_rule gate (reference metric: inner join on id triple,
+    # benchmark/calculate_metrics_with_input.py:21-26)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+
+
+def test_batching_invariance(spark, oracle_triples):
+    """Arrow batch boundaries (and thus partitioning) must not change
+    any score: run with tiny batches and compare the full edge set."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(60)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        small = {
+            tuple(r) for r in build_edges_neural(spark, docs)
+            .select("doc_id", "gene_id", "disease_id", "prob_avg")
+            .collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+    big = {
+        tuple(r) for r in build_edges_neural(spark, docs)
+        .select("doc_id", "gene_id", "disease_id", "prob_avg")
+        .collect()
+    }
+    assert small == big
+
+
+def test_ensemble_members_differ():
+    """10 seeded models must not be identical (vote must be an
+    actual ensemble)."""
+    pdf = pd.DataFrame(
+        [{
+            "doc_id": "x",
+            "gene_id": "1002",
+            "disease_id": "D0001",
+            "tok_ids": [[13, 22, 1], [4, 13, 22]],
+            "ments": [
+                {"sent_no": 0, "tok_no": 0, "type": "Gene", "entity_id": "1002"},
+                {"sent_no": 0, "tok_no": 1, "type": "Disease", "entity_id": "D0001"},
+            ],
+        }]
+    )
+    probs = score_batch(pdf)[0]
+    assert probs.shape == (N_MODELS,)
+    assert len(set(np.round(probs, 6))) > 5
