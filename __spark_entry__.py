@@ -62,7 +62,9 @@ from renet2_spark.operators.tagger import tag_mentions
 from renet2_spark.operators import dedup as dd
 from renet2_spark.operators import similarity as sim
 from renet2_spark.functions import textstats as ts
+from renet2_spark.operators import multimodal as mm
 from renet2_spark.plans import pipeline
+from renet2_spark.plans import relational as rel
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -185,6 +187,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lambda s, d: ts.lang_id(_docs(s, d)),
         "token_counts": lambda s, d: ts.token_counts(_docs(s, d)),
         "fingerprint": lambda s, d: ts.fingerprint(_docs(s, d)),
+        # multimodal plumbing (binary payload -> mapInPandas decode)
+        "media_features": lambda s, d: (
+            _ship_pkg(s),
+            mm.decode_media(mm.media_table(derive_spans(_docs(s, d)))),
+        )[1],
+        "media_frames": lambda s, d: mm.sample_frames(
+            mm.media_table(derive_spans(_docs(s, d)))
+        ),
+        # metrics join (J5)
+        "kg_pr_vs_strong_cooc": rel.kg_pr_vs_strong_cooc,
+        # generic relational operator coverage (SURVEY §2.2-2.7)
+        "rel_agg_filter": rel.rel_agg_filter,
+        "rel_join_left_fillna": rel.rel_join_left_fillna,
+        "rel_semi": rel.rel_semi,
+        "rel_anti": rel.rel_anti,
+        "rel_window_rank": rel.rel_window_rank,
+        "rel_window_lag": rel.rel_window_lag,
+        "rel_union_distinct": rel.rel_union_distinct,
+        "rel_topk": rel.rel_topk,
+        "rel_grouping_top_nation": rel.rel_grouping_top_nation,
+        "rel_json_extract": rel.rel_json_extract,
     }
 
 
@@ -213,4 +236,17 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oracles.q_lang_id(),
         "token_counts": oracles.q_token_counts(),
         "fingerprint": oracles.q_fingerprint(),
+        "media_features": oracles.q_media_features(),
+        "media_frames": oracles.q_media_frames(),
+        "kg_pr_vs_strong_cooc": oracles.q_kg_pr_vs_strong_cooc(),
+        "rel_agg_filter": oracles.q_rel_agg_filter(),
+        "rel_join_left_fillna": oracles.q_rel_join_left_fillna(),
+        "rel_semi": oracles.q_rel_semi(),
+        "rel_anti": oracles.q_rel_anti(),
+        "rel_window_rank": oracles.q_rel_window_rank(),
+        "rel_window_lag": oracles.q_rel_window_lag(),
+        "rel_union_distinct": oracles.q_rel_union_distinct(),
+        "rel_topk": oracles.q_rel_topk(),
+        "rel_grouping_top_nation": oracles.q_rel_grouping_top_nation(),
+        "rel_json_extract": oracles.q_rel_json_extract(),
     }

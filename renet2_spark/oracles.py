@@ -466,3 +466,165 @@ SELECT doc_id,
        md5(txt) AS text_md5
 FROM w
 """
+
+
+# ---- relational coverage / metrics / multimodal oracles -------------------
+
+
+def q_rel_agg_filter() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY 1, 2
+"""
+
+
+def q_rel_join_left_fillna() -> str:
+    return """
+SELECT o_orderkey, o_custkey,
+       coalesce(c_name, 'UNKNOWN') AS cust_name,
+       coalesce(c_acctbal, 0.0) AS acctbal
+FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
+  ON o_custkey = c.c_custkey
+"""
+
+
+def q_rel_semi() -> str:
+    return """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_rel_anti() -> str:
+    return """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_rel_window_rank() -> str:
+    return """
+SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_rel_window_lag() -> str:
+    return """
+SELECT user_id, event_id,
+       round(value - lag(value, 1, 0.0) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC), 5)
+         AS value_delta
+FROM events
+"""
+
+
+def q_rel_union_distinct() -> str:
+    return """
+SELECT DISTINCT * FROM (
+  SELECT o_custkey AS key, 'order' AS src FROM orders
+  UNION ALL
+  SELECT c_custkey AS key, 'customer' AS src FROM customer
+)
+"""
+
+
+def q_rel_topk() -> str:
+    return """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 10
+"""
+
+
+def q_rel_grouping_top_nation() -> str:
+    return """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_rel_json_extract() -> str:
+    return """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(props->>'k' AS INT)) AS INT) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+def q_kg_pr_vs_strong_cooc() -> str:
+    return f"""
+WITH {_scored_cte()},
+voted AS (
+  SELECT DISTINCT doc_id, gene_id, disease_id FROM scored
+  WHERE hit_cnt >= {CUTOFF}
+),
+gold AS (
+  SELECT DISTINCT doc_id, gene_id, disease_id FROM pairs
+  WHERE n_cooc_sents >= 3
+),
+counts AS (
+  SELECT (SELECT count(*) FROM voted JOIN gold USING (doc_id, gene_id, disease_id)) AS tp,
+         (SELECT count(*) FROM voted) AS n_pred,
+         (SELECT count(*) FROM gold) AS n_gold
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_gold AS BIGINT) AS n_gold,
+       round(tp / CAST(n_pred AS DOUBLE), 5) AS precision,
+       round(tp / CAST(n_gold AS DOUBLE), 5) AS recall,
+       round(2.0 * (tp / CAST(n_pred AS DOUBLE)) * (tp / CAST(n_gold AS DOUBLE))
+             / ((tp / CAST(n_pred AS DOUBLE)) + (tp / CAST(n_gold AS DOUBLE))), 5)
+         AS f1
+FROM counts
+"""
+
+
+def _hexbyte(hexpr: str, i: int) -> str:
+    """SQL for byte i (0-based) of a 32-hex-char md5 string expr."""
+    hi = f"(strpos('0123456789abcdef', substr({hexpr}, {2 * i + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr({hexpr}, {2 * i + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+def q_media_features() -> str:
+    media = q_media().strip()
+    b = lambda i: _hexbyte("md5(media_ref)", i)
+    return f"""
+WITH media AS ({media})
+SELECT doc_id, media_no, media_ref,
+       CAST(16 AS INT) AS bytes_len,
+       CAST(64 + {b(0)} % 192 AS INT) AS width,
+       CAST(64 + {b(1)} % 192 AS INT) AS height,
+       CAST(1 + {b(2)} % 4 AS INT) AS n_channels,
+       round({b(3)} / 255.0, 5) AS f0,
+       round({b(4)} / 255.0, 5) AS f1
+FROM media
+"""
+
+
+def q_media_frames(stride: int = 4) -> str:
+    media = q_media().strip()
+    b15 = _hexbyte("md5(media_ref)", 15)
+    return f"""
+WITH media AS ({media}),
+m AS (SELECT doc_id, media_ref,
+             CAST(1 + {b15} % 32 AS INT) AS n_frames
+      FROM media)
+SELECT doc_id, media_ref, n_frames, CAST(t.f AS INT) AS frame_no
+FROM m, unnest(range(0, n_frames, {stride})) AS t(f)
+"""

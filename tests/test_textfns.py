@@ -1,0 +1,122 @@
+"""Unit tests for the raw-text tokenizer/splitter (SURVEY T1/T2) and
+annotation cleaning (W1/F6)."""
+
+from renet2_spark.functions.text import split_sentences, tokenize_text
+
+
+def test_tokenizer_punctuation_and_clitics():
+    assert tokenize_text("TP53 (p53), a tumor suppressor") == [
+        "TP53", "(", "p53", ")", ",", "a", "tumor", "suppressor",
+    ]
+    assert tokenize_text("the gene's role isn't clear") == [
+        "the", "gene", "'s", "role", "is", "n't", "clear",
+    ]
+
+
+def test_tokenizer_final_period_rules():
+    assert tokenize_text("found in mice.") == ["found", "in", "mice", "."]
+    # abbreviation periods survive
+    assert tokenize_text("e.g. mice") == ["e.g.", "mice"]
+    # decimals survive
+    assert tokenize_text("p = 0.05.") == ["p", "=", "0.05", "."]
+
+
+def test_sentence_splitter_basic():
+    assert split_sentences("First sentence. Second one. Third.") == [
+        "First sentence.", "Second one.", "Third.",
+    ]
+
+
+def test_sentence_splitter_abbreviations_and_brackets():
+    s = "Results (see Fig. 2a. for details) hold. Dr. Smith agreed."
+    # periods inside brackets and after abbreviations do not split
+    assert split_sentences(s) == [
+        "Results (see Fig. 2a. for details) hold.",
+        "Dr. Smith agreed.",
+    ]
+
+
+def test_sentence_splitter_decimal_and_lowercase_continuation():
+    s = "We used 3.5 mg. of compound X. It worked."
+    # '3.5' protected; 'mg.' followed by lowercase 'of' -> no split
+    assert split_sentences(s) == ["We used 3.5 mg. of compound X.", "It worked."]
+
+
+def test_splitter_udf_roundtrip(spark):
+    from renet2_spark.functions.text import sentences_from_raw_text
+
+    df = spark.createDataFrame(
+        [("1", "Alpha beta. Gamma delta."), ("2", "One. Two. Three.")],
+        "doc_id string, text string",
+    )
+    rows = sentences_from_raw_text(df).collect()
+    got = {(r["doc_id"], r["sent_no"]): r["sentence"] for r in rows}
+    assert got[("1", 0)] == "Alpha beta."
+    assert got[("2", 2)] == "Three."
+
+
+# ---- annotation cleaning -------------------------------------------------
+
+MSCHEMA = (
+    "doc_id string, sent_no int, tok_no int, start int, end int, "
+    "mention string, type string, entity_id string"
+)
+
+
+def _m(doc, sent, tok, start, end, mention, typ, eid):
+    return (doc, sent, tok, start, end, mention, typ, eid)
+
+
+def test_fuse_joint_tags(spark):
+    from renet2_spark.operators.anncleaner import fuse_joint_tags
+
+    df = spark.createDataFrame(
+        [
+            _m("d", 0, 0, 0, 4, "abcd", "Gene", "g1"),
+            _m("d", 0, 0, 0, 4, "abcd", "Disease", "D1"),
+            _m("d", 0, 2, 10, 14, "wxyz", "Gene", "g2"),
+        ],
+        MSCHEMA,
+    )
+    got = {
+        (r["start"], r["type"], r["entity_id"])
+        for r in fuse_joint_tags(df).collect()
+    }
+    assert got == {(0, "Gene-Disease", "g1>-<D1"), (10, "Gene", "g2")}
+
+
+def test_merge_overlaps_chains(spark):
+    from renet2_spark.operators.anncleaner import merge_overlaps
+
+    df = spark.createDataFrame(
+        [
+            _m("d", 0, 0, 0, 10, "aaaa", "Gene", "g1"),
+            _m("d", 0, 1, 5, 12, "bbbb", "Gene", "g2"),   # overlaps g1 -> drop
+            _m("d", 0, 2, 11, 15, "cccc", "Gene", "g3"),  # overlaps g2 but g2
+            # dropped; still overlaps g1's running end 10? 11 >= 10 -> keep
+            _m("d", 0, 3, 14, 20, "dddd", "Gene", "g4"),  # overlaps kept g3 -> drop
+            _m("d", 1, 0, 0, 5, "eeee", "Gene", "g5"),    # other sentence
+        ],
+        MSCHEMA,
+    )
+    kept = {r["entity_id"] for r in merge_overlaps(df).collect()}
+    assert kept == {"g1", "g3", "g5"}
+
+
+def test_drop_cross_sentence(spark):
+    from renet2_spark.operators.anncleaner import drop_cross_sentence
+
+    sents = spark.createDataFrame(
+        [("d", 0, "0123456789", 0), ("d", 1, "abcdefghij", 11)],
+        "doc_id string, sent_no int, sentence string, offset int",
+    )
+    ms = spark.createDataFrame(
+        [
+            _m("d", 0, 0, 0, 5, "01234", "Gene", "g1"),    # inside -> keep
+            _m("d", 0, 1, 8, 13, "89 ab", "Gene", "g2"),   # crosses -> drop
+            _m("d", 1, 0, 11, 21, "abcdefghij", "Gene", "g3"),  # exact -> keep
+        ],
+        MSCHEMA,
+    )
+    kept = {r["entity_id"] for r in drop_cross_sentence(ms, sents).collect()}
+    assert kept == {"g1", "g3"}
