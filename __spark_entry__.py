@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # metrics join (J5)
         "kg_pr_vs_strong_cooc": rel.kg_pr_vs_strong_cooc,
+        "kg_threshold_sweep": rel.kg_threshold_sweep,
         # generic relational operator coverage (SURVEY §2.2-2.7)
         "rel_agg_filter": rel.rel_agg_filter,
         "rel_join_left_fillna": rel.rel_join_left_fillna,
@@ -239,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": oracles.q_media_features(),
         "media_frames": oracles.q_media_frames(),
         "kg_pr_vs_strong_cooc": oracles.q_kg_pr_vs_strong_cooc(),
+        "kg_threshold_sweep": oracles.q_kg_threshold_sweep(),
         "rel_agg_filter": oracles.q_rel_agg_filter(),
         "rel_join_left_fillna": oracles.q_rel_join_left_fillna(),
         "rel_semi": oracles.q_rel_semi(),

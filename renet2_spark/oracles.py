@@ -628,3 +628,29 @@ m AS (SELECT doc_id, media_ref,
 SELECT doc_id, media_ref, n_frames, CAST(t.f AS INT) AS frame_no
 FROM m, unnest(range(0, n_frames, {stride})) AS t(f)
 """
+
+
+def q_kg_threshold_sweep() -> str:
+    return f"""
+WITH {_scored_cte()},
+flags AS (
+  SELECT prob_avg, (n_cooc_sents >= 3) AS gold FROM scored
+),
+grid AS (SELECT t.i / 20.0 AS threshold
+         FROM unnest(generate_series(1, 18)) AS t(i)),
+swept AS (
+  SELECT threshold,
+         CAST(sum(CASE WHEN prob_avg > threshold AND gold THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN prob_avg > threshold THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pred,
+         CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS n_gold
+  FROM flags CROSS JOIN grid GROUP BY threshold
+)
+SELECT threshold, tp, n_pred, n_gold,
+       CASE WHEN tp > 0 THEN
+         2 * (tp / CAST(n_pred AS DOUBLE)) * (tp / CAST(n_gold AS DOUBLE))
+           / ((tp / CAST(n_pred AS DOUBLE)) + (tp / CAST(n_gold AS DOUBLE)))
+       ELSE 0.0 END AS f1
+FROM swept ORDER BY f1 DESC, threshold ASC LIMIT 1
+"""

@@ -201,3 +201,63 @@ def kg_pr_vs_strong_cooc(spark, sf_dir) -> DataFrame:
         F.col("n_cooc_sents") >= 3
     )
     return pr_metrics(edges, gold, ["doc_id", "gene_id", "disease_id"])
+
+
+def kg_threshold_sweep(spark, sf_dir) -> DataFrame:
+    """Decision-threshold sweep with argmax-F1 (reference
+    model.py:811-823 sweeps 100 candidate thresholds and keeps the
+    best): cross join of scored pairs x threshold grid, grouped
+    metric, deterministic argmax. Gold = strong co-occurrence
+    (n_cooc_sents >= 3)."""
+    from ..corpus import load_documents
+    from ..operators.pairgen import entity_info, sentence_pair_candidates
+    from ..operators.scorer import score_and_vote
+    from .pipeline import build_mentions
+
+    m = build_mentions(spark, load_documents(spark, sf_dir))
+    pairs = sentence_pair_candidates(m)
+    info = entity_info(m)
+    g = info.filter(F.col("type") == "Gene").select(
+        "doc_id",
+        F.col("entity_id").alias("gene_id"),
+        F.col("n_mentions").alias("n_g"),
+    )
+    d = info.filter(F.col("type") == "Disease").select(
+        "doc_id",
+        F.col("entity_id").alias("disease_id"),
+        F.col("n_mentions").alias("n_d"),
+    )
+    scored = score_and_vote(
+        pairs.join(g, ["doc_id", "gene_id"]).join(d, ["doc_id", "disease_id"]),
+        cutoff=0,
+    ).select(
+        "prob_avg", (F.col("n_cooc_sents") >= 3).alias("gold")
+    )
+    grid = spark.range(1, 19).select(
+        (F.col("id") / F.lit(20.0)).alias("threshold")
+    )
+    swept = (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when((F.col("prob_avg") > F.col("threshold")) & F.col("gold"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("tp"),
+            F.sum(
+                F.when(F.col("prob_avg") > F.col("threshold"), 1).otherwise(0)
+            ).cast("bigint").alias("n_pred"),
+            F.sum(F.when(F.col("gold"), 1).otherwise(0)).cast("bigint").alias("n_gold"),
+        )
+    )
+    prec = F.col("tp") / F.col("n_pred")
+    rec = F.col("tp") / F.col("n_gold")
+    f1 = F.when(
+        (F.col("tp") > 0), 2 * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return (
+        swept.withColumn("f1", f1)
+        .orderBy(F.desc("f1"), F.asc("threshold"))
+        .limit(1)
+        .select("threshold", "tp", "n_pred", "n_gold", "f1")
+    )

@@ -1,0 +1,163 @@
+"""Caps (S5), BioC ingest (S4), incremental/streaming (S9), skew
+helpers, class-balance sampling (A8)."""
+
+import json
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_caps(spark):
+    from renet2_spark.operators.caps import (
+        cap_mentions,
+        cap_sentences,
+        cap_tokens,
+    )
+
+    sents = spark.createDataFrame(
+        [("d", i, "w " * 600, i * 1000) for i in range(600)],
+        "doc_id string, sent_no int, sentence string, offset int",
+    )
+    capped = cap_sentences(sents, max_sents=500, max_chars=135_000)
+    # sent_no cap and char cap both apply (chars bite first here)
+    assert capped.count() == 135
+    toks = cap_tokens(capped, max_tokens=512).select(
+        F.size(F.split("sentence", " ")).alias("n")
+    )
+    assert toks.agg(F.max("n")).first()[0] <= 512
+    ms = spark.createDataFrame(
+        [("d", 10, 5, 0, 1, "w", "Gene", "1001"),
+         ("d", 501, 5, 0, 1, "w", "Gene", "1001"),
+         ("d", 10, 600, 0, 1, "w", "Gene", "None")],
+        "doc_id string, sent_no int, tok_no int, start int, end int, "
+        "mention string, type string, raw_id string",
+    )
+    assert cap_mentions(ms).count() == 1
+
+
+def test_bioc_parse(spark):
+    from renet2_spark.sources.bioc import parse_bioc
+
+    doc = {
+        "pmid": "42",
+        "passages": [
+            {"infons": {"type": "title", "section_type": "TITLE"},
+             "text": "TP53 in cancer", "offset": 0, "media_ref": None},
+            {"infons": {"type": "abstract", "section_type": "ABSTRACT"},
+             "text": "We study slow genes.", "offset": 15, "media_ref": None},
+            {"infons": {"type": "paragraph", "section_type": "Introduction"},
+             "text": "Background text.", "offset": 36, "media_ref": None},
+            {"infons": {"type": "paragraph", "section_type": "METHODS"},
+             "text": "dropped methods", "offset": 53, "media_ref": None},
+            {"infons": {"type": "ref", "section_type": "REFERENCES"},
+             "text": "dropped refs", "offset": 70, "media_ref": None},
+            {"infons": {"type": "fig", "section_type": "FIGURE"},
+             "text": "", "offset": 90, "media_ref": "img://42/0"},
+        ],
+    }
+    raw = spark.createDataFrame([(json.dumps(doc),)], "doc_json string")
+    rows = parse_bioc(raw).collect()
+    assert len(rows) == 1
+    spans = rows[0]["spans"]
+    kinds = [s["kind"] for s in spans]
+    # METHODS (whitelist-excluded, IG_N=3) and REFERENCES (skip list)
+    # are gone; order preserved; media span kept
+    assert kinds == ["title", "abstract", "paragraph", "figure"]
+    assert spans[2]["text"] == "Background text."
+    assert spans[3]["media_ref"] == "img://42/0"
+
+
+def test_incremental_resume(spark):
+    from renet2_spark.sources.checkpoint import CheckpointStore
+    from renet2_spark.streaming.incremental import run_incremental
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    root = tempfile.mkdtemp(prefix="incr_")
+    try:
+        store = CheckpointStore(spark, root)
+        edges1 = run_incremental(spark, docs, store, buckets=8)
+        n1 = edges1.count()
+        assert n1 > 0
+        # resume is a no-op producing the identical table
+        edges2 = run_incremental(spark, docs, store, buckets=8)
+        assert edges2.count() == n1
+        assert store.committed("edges").count() == 8
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_edges_matches_batch(spark):
+    from renet2_spark.plans.pipeline import build_edges
+    from renet2_spark.streaming.incremental import stream_edges
+
+    indir = tempfile.mkdtemp(prefix="stream_in_")
+    outdir = tempfile.mkdtemp(prefix="stream_out_") + "/edges"
+    ckpt = tempfile.mkdtemp(prefix="stream_ck_")
+    try:
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(100)
+        docs.write.mode("overwrite").parquet(indir)
+        stream_edges(spark, indir, outdir, ckpt)
+        got = {
+            (r["doc_id"], r["gene_id"], r["disease_id"])
+            for r in spark.read.parquet(outdir).collect()
+        }
+        want = {
+            (r["doc_id"], r["gene_id"], r["disease_id"])
+            for r in build_edges(
+                spark, spark.read.parquet(indir).select("doc_id", "text")
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(indir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_salted_aggs_match_plain(spark):
+    from renet2_spark.operators.skew import salted_collect_set, salted_count
+    from renet2_spark.plans.pipeline import build_mentions
+
+    m = build_mentions(
+        spark, spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ).persist()
+    salted = {
+        (r["type"], r["entity_id"]): (r["n_mentions"], r["n_docs"])
+        for r in salted_count(m, keys=["type", "entity_id"]).collect()
+    }
+    plain = {
+        (r["type"], r["entity_id"]): (r["cnt"], r["docs"])
+        for r in m.groupBy("type", "entity_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("doc_id").alias("docs"),
+        )
+        .collect()
+    }
+    assert salted == plain
+    s_sets = {
+        r["entity_id"]: list(r["values"])
+        for r in salted_collect_set(
+            m.limit(2000), keys=["entity_id"], value_col="mention"
+        ).collect()
+    }
+    for v in s_sets.values():
+        assert v == sorted(set(v))
+
+
+def test_sample_balanced_bounds(spark):
+    from renet2_spark.operators.caps import label_distribution, sample_balanced
+
+    rows = [("d%d" % i, "g", "D", 1.0) for i in range(100)] + [
+        ("e%d" % i, "g", "D", 0.0) for i in range(2000)
+    ]
+    labels = spark.createDataFrame(
+        rows, "doc_id string, gene_id string, disease_id string, label double"
+    )
+    sampled = sample_balanced(labels, ratio=2.0, seed=7)
+    dist = {r["label"]: r["n"] for r in label_distribution(sampled).collect()}
+    assert dist[1.0] == 100  # positives kept
+    assert 120 <= dist[0.0] <= 280  # ~2x positives, binomial spread
