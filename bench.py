@@ -47,6 +47,10 @@ def run_benchmark(sf_dir: str, cpus: str) -> dict:
     )
     qs = entry_mod.queries()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # warm-up lap at the smoke scale: JIT/codegen compilation otherwise
+    # lands entirely on the first timed query
+    for name in HEADLINE:
+        qs[name](spark, "/root/testdata/sf0.001").count()
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     flagship_sec = None

@@ -161,3 +161,20 @@ def test_sample_balanced_bounds(spark):
     dist = {r["label"]: r["n"] for r in label_distribution(sampled).collect()}
     assert dist[1.0] == 100  # positives kept
     assert 120 <= dist[0.0] <= 280  # ~2x positives, binomial spread
+
+
+def test_table_sink_fallback(spark):
+    import tempfile
+
+    from renet2_spark.sources.tables import (
+        iceberg_available,
+        read_table,
+        write_table,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    path = tempfile.mkdtemp(prefix="tbl_") + "/t"
+    fmt = write_table(df, path, partition_by=["v"])
+    assert fmt == ("iceberg" if iceberg_available(spark) else "parquet")
+    back = read_table(spark, path)
+    assert {tuple(r) for r in back.select("id", "v").collect()} == {(1, "a"), (2, "b")}
