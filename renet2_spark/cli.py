@@ -1,0 +1,137 @@
+"""CLI mirroring the reference's entry points (renet2 <submodule>,
+src/renet2/renet2.py:36-55 dispatches to predict/parse_data/
+normalize_ann/...). A reference user switches by replacing
+`renet2 predict ...` with `python -m renet2_spark predict ...`;
+output is the same 7-column gda_rst.tsv
+(pmid geneId diseaseId g_name d_name prob_avg prob_X,
+reference predict.py:203-213 / README.md:227-234) or parquet.
+
+Designed for spark-submit: `spark-submit --py-files renet2_spark.zip
+-m ...` on a cluster; locally it builds its own session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark(app_name=f"renet2_spark_{args.cmd}", master=args.master)
+
+
+def cmd_predict(args) -> int:
+    """documents parquet -> GDA triples (reference `renet2 predict`)."""
+    from .operators.pairgen import entity_info, pair_features
+    from .operators.scorer import CUTOFF, ensemble_vote
+    from .plans.pipeline import build_edges, build_edges_neural
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    cutoff = 1 if args.sensitive else CUTOFF  # predict.py:122-124
+    if args.scorer == "neural":
+        edges = build_edges_neural(spark, docs, cutoff=cutoff)
+    else:
+        edges = build_edges(spark, docs, cutoff=cutoff)
+    out = edges.select(
+        F.col("doc_id").alias("pmid"),
+        F.col("gene_id").alias("geneId"),
+        F.col("disease_id").alias("diseaseId"),
+        "g_name",
+        "d_name",
+        "prob_avg",
+    )
+    if args.format == "tsv":
+        out.coalesce(1).write.mode("overwrite").option("sep", "\t").option(
+            "header", True
+        ).csv(args.output)
+    else:
+        out.write.mode("overwrite").parquet(args.output)
+    print(f"wrote {out.count()} GDA triples to {args.output}")
+    return 0
+
+
+def cmd_parse_data(args) -> int:
+    """BioC-JSON lines -> interleaved span corpus (reference
+    `renet2 parse_data`)."""
+    from .sources.bioc import parse_bioc
+
+    spark = _spark(args)
+    raw = spark.read.text(args.input).withColumnRenamed("value", "doc_json")
+    spans = parse_bioc(raw)
+    spans.write.mode("overwrite").parquet(args.output)
+    print(f"parsed {spans.count()} documents to {args.output}")
+    return 0
+
+
+def cmd_normalize_ann(args) -> int:
+    """mentions parquet -> canonicalized + per-doc-unified mentions
+    (reference `renet2 normalize_ann`)."""
+    from .operators.normalize import canonicalize_mentions, unify_doc_ids
+
+    spark = _spark(args)
+    mentions = spark.read.parquet(args.input)
+    out = unify_doc_ids(canonicalize_mentions(mentions))
+    out.write.mode("overwrite").parquet(args.output)
+    print(f"normalized {out.count()} mentions to {args.output}")
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    """P/R/F1 between predicted and gold triple tables (reference
+    benchmark/calculate_metrics_with_input.py)."""
+    from .plans.relational import pr_metrics
+
+    spark = _spark(args)
+    pred = spark.read.parquet(args.pred)
+    gold = spark.read.parquet(args.gold)
+    keys = args.keys.split(",")
+    row = pr_metrics(pred, gold, keys).first()
+    print(
+        f"tp={row['tp']} n_pred={row['n_pred']} n_gold={row['n_gold']} "
+        f"precision={row['precision']} recall={row['recall']} f1={row['f1']}"
+    )
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="renet2_spark")
+    p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("predict", help="extract GDA triples")
+    sp.add_argument("--input", required=True, help="documents parquet")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--scorer", choices=["deterministic", "neural"],
+                    default="deterministic")
+    sp.add_argument("--format", choices=["tsv", "parquet"], default="parquet")
+    sp.add_argument("--sensitive", action="store_true",
+                    help="vote cutoff 1 instead of N//2 (predict.py:122-124)")
+    sp.set_defaults(fn=cmd_predict)
+
+    sp = sub.add_parser("parse_data", help="BioC-JSON lines -> span corpus")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_parse_data)
+
+    sp = sub.add_parser("normalize_ann", help="canonicalize + unify mention ids")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_normalize_ann)
+
+    sp = sub.add_parser("evaluate", help="P/R/F1 of predicted vs gold triples")
+    sp.add_argument("--pred", required=True)
+    sp.add_argument("--gold", required=True)
+    sp.add_argument("--keys", default="doc_id,gene_id,disease_id")
+    sp.set_defaults(fn=cmd_evaluate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

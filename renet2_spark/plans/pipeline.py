@@ -3,19 +3,22 @@
 Mirrors the reference predict path (SURVEY §3.1,
 src/renet2/predict.py:338-448) as one declarative DataFrame DAG:
 
-  flat documents --derive_spans--> interleaved span corpus
-    --sentences_from_spans--> sentences        (narrow)
-    --tag_mentions--> raw mentions             (broadcast join)
-    --canonicalize--> mentions                 (narrow)
-    --pair_features--> candidate pairs         (doc-keyed shuffles)
-    --score + vote--> accepted pairs           (row-local)
-    --attach_names--> edges                    (doc-keyed join)
-  mentions --salted agg--> nodes
+  flat documents --(tag_mentions_fast: split+posexplode+broadcast join,
+                    zero string allocation)--> raw mentions
+    --canonicalize (narrow)--> mentions [optionally materialized as a
+                    lineage-tracked stage table via CheckpointStore]
+    --sentence_pair_candidates (groupBy doc,sent -> explode cross)-->
+                    candidate pairs + co-occurrence counts
+    --entity_info (groupBy doc,type,entity: counts + names)-->
+    --pairs join gene-info join disease-info (doc-keyed sort-merge)-->
+    --score_and_vote (row-local codegen, 10 models one pass)--> edges
+  mentions --salted two-phase agg--> nodes
 
-Every shuffle is keyed by doc_id (+sentence/entity) — document-uniform,
-so hot entities (the 'join' gene appears in ~96% of docs) never skew a
-partition. Entity-keyed rollups (nodes) go through two-phase salted
-aggregation.
+Every shuffle is keyed by doc_id (+sentence/entity-within-doc) —
+document-uniform, so hot entities (the 'join' gene appears in ~96% of
+docs) never skew a partition. Entity-GLOBAL rollups (nodes) go through
+salted two-phase aggregation (operators/skew.py). See BENCH.md for the
+measured evolution of this plan.
 """
 
 from __future__ import annotations
@@ -56,13 +59,7 @@ def build_edges(
     cutoff: int = CUTOFF,
     store=None,
 ) -> DataFrame:
-    """documents -> edges. The mentions table fans out into five
-    consumers (pair-gen, gene/disease evidence counts, gene/disease
-    name attachment); recomputing its DAG per branch is the dominant
-    cost (measured 5x ~40s vs 2.7s total at sf0.1), so it is
-    materialized once: via the CheckpointStore (the production path —
-    an Iceberg stage table with per-partition lineage, resumable) or
-    an in-memory persist for ad-hoc runs."""
+    """documents -> edges (the flagship query)."""
     from ..operators.pairgen import entity_info, sentence_pair_candidates
     from ..operators.scorer import score_and_vote
 
