@@ -179,6 +179,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_simhash": lambda s, d: dd.simhash(_docs(s, d)),
         "dedup_simhash": lambda s, d: dd.dedup_simhash(_docs(s, d)),
         "dedup_embedding": lambda s, d: dd.dedup_embedding(_emb(s, d)),
+        # LSH-blocked scale path (approximate -> rows-only; recall vs
+        # the exact variant asserted in tests/test_dedup.py)
+        "dedup_embedding_lsh": lambda s, d: dd.dedup_embedding_lsh(
+            _emb(s, d), n_planes=4, n_tables=8
+        ),
+        "dedup_survivors": lambda s, d: dd.dedup_survivors(_docs(s, d)),
         # similarity search
         "ann_topk_brute": lambda s, d: sim.ann_topk_brute(_emb(s, d)),
         "ann_topk_lsh": lambda s, d: sim.ann_topk_lsh(_emb(s, d)),
@@ -230,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "text_simhash": oracles.q_simhash(),
         "dedup_simhash": oracles.q_dedup_simhash(),
         "dedup_embedding": oracles.q_dedup_embedding(),
+        "dedup_survivors": oracles.q_dedup_survivors(),
         "ann_topk_brute": oracles.q_ann_topk(),
         # ann_topk_lsh is approximate — rows-only check; recall vs the
         # brute-force baseline asserted in tests/test_similarity.py

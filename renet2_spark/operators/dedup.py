@@ -232,3 +232,50 @@ def dedup_embedding(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+def dedup_embedding_lsh(
+    embeddings: DataFrame, threshold: float = 0.9, **lsh_kw
+) -> DataFrame:
+    """Scale path for embedding near-dup: candidates restricted to
+    pairs sharing a random-hyperplane LSH bucket (similarity.
+    lsh_buckets), then exact-cosine verified. Same output schema as
+    dedup_embedding; approximate recall (measured vs the brute-force
+    baseline in tests), O(n * bucket) instead of O(n^2)."""
+    from .similarity import lsh_buckets
+
+    buckets = lsh_buckets(embeddings, **lsh_kw)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 5))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+def dedup_survivors(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Dedup as a pipeline stage: documents surviving near-dup removal
+    — a doc is dropped iff it is the LARGER id of any >= threshold
+    ngram-jaccard pair (deterministic keep-smallest rule; the exact
+    analogue of 'keep first seen'). Output: (doc_id, n_chars)."""
+    pairs = dedup_ngram_jaccard(documents, threshold=threshold)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        documents.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.length("text").cast("int").alias("n_chars"),
+        )
+        .join(losers, "doc_id", "left_anti")
+    )

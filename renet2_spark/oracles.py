@@ -654,3 +654,16 @@ SELECT threshold, tp, n_pred, n_gold,
        ELSE 0.0 END AS f1
 FROM swept ORDER BY f1 DESC, threshold ASC LIMIT 1
 """
+
+
+def q_dedup_survivors(threshold: float = 0.7) -> str:
+    return f"""
+WITH {_jaccard_cte(threshold)},
+losers AS (
+  SELECT DISTINCT doc_b AS doc_id FROM jpairs WHERE jaccard >= {threshold}
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+       CAST(length(d."text") AS INT) AS n_chars
+FROM documents d
+WHERE CAST(d.doc_id AS VARCHAR) NOT IN (SELECT doc_id FROM losers)
+"""

@@ -69,3 +69,24 @@ def test_embedding_neardup_symmetric_threshold(spark):
     for p in pairs:
         assert p["vec_a"] < p["vec_b"]
         assert p["cos"] >= 0.5
+
+
+def test_embedding_lsh_recall_vs_exact(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in dd.dedup_embedding(emb, threshold=0.4).collect()}
+    lsh = {(r["vec_a"], r["vec_b"])
+           for r in dd.dedup_embedding_lsh(
+               emb, threshold=0.4, n_planes=4, n_tables=8).collect()}
+    assert lsh <= exact
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.5
+
+
+def test_dedup_survivors_drops_only_losers(spark):
+    docs = _docs(spark)
+    pairs = dd.dedup_ngram_jaccard(docs, threshold=0.7).collect()
+    losers = {p["doc_b"] for p in pairs}
+    surv = {r["doc_id"] for r in dd.dedup_survivors(docs).collect()}
+    all_ids = {str(r["doc_id"]) for r in docs.select("doc_id").collect()}
+    assert surv == all_ids - losers
