@@ -292,7 +292,14 @@ def neural_score_pairs(
     array<double> of the 10-model ensemble; plugs into
     scorer.ensemble_vote unchanged."""
     tensors = doc_tensors(sentences, mentions)
-    joined = pairs.join(tensors, "doc_id")
+    # repartition before the UDF: the pair rows are tiny in BYTES so
+    # AQE coalesces them to ~1 partition, but scoring is heavy in CPU
+    # per row — without this, one python worker scores everything
+    # (measured 24s -> ~2s at sf0.1 on 32 cores)
+    spark = pairs.sparkSession
+    joined = pairs.join(tensors, "doc_id").repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
     in_schema = joined.schema
     out_schema = T.StructType(
         [f for f in in_schema.fields if f.name not in ("tok_ids", "ments")]
