@@ -26,8 +26,7 @@ def _spark(args):
 
 def cmd_predict(args) -> int:
     """documents parquet -> GDA triples (reference `renet2 predict`)."""
-    from .operators.pairgen import entity_info, pair_features
-    from .operators.scorer import CUTOFF, ensemble_vote
+    from .operators.scorer import CUTOFF
     from .plans.pipeline import build_edges, build_edges_neural
 
     spark = _spark(args)

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 JOINT_SEP = ">-<"  # reference sequence_utils.py:22-25 composite id
 

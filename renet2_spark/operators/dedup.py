@@ -29,7 +29,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 NGRAM = 5
 JACCARD_THRESHOLD = 0.7

@@ -26,20 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..corpus import (
-    derive_spans,
-    load_documents,
-    sentences_direct,
-    sentences_from_spans,
-)
+from ..corpus import load_documents, sentences_direct
 from ..operators.normalize import canonicalize_mentions
 from ..operators.pairgen import pair_features
-from ..operators.scorer import (
-    CUTOFF,
-    ensemble_vote,
-    materialize_edges,
-    score_pairs,
-)
+from ..operators.scorer import CUTOFF, materialize_edges
 from ..operators.tagger import tag_mentions
 
 

@@ -34,6 +34,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # default 64MB advisory size coalesces this sandbox's small
+        # shuffles down to ~core-count partitions, gating each reduce
+        # stage on its slowest task (measured: coalescing off took the
+        # 16-core flagship 16.1s -> 10.9s). 2MB keeps toy-scale data
+        # parallel; production deployments override via spark-submit.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

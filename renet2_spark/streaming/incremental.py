@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.pipeline import build_edges
-from ..sources.checkpoint import CheckpointStore, with_part_key
+from ..sources.checkpoint import CheckpointStore
 
 
 def run_incremental(
