@@ -64,13 +64,16 @@ def run_benchmark(sf_dir: str, cpus: str) -> dict:
             flagship_sec = dt
         print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
     total = round(time.perf_counter() - t_all, 3)
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = -1.0
     result = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf),
+        "sf": sf,
         "cpus": int(cpus),
         "n_docs": n_docs,
         "kg_docs_per_sec": round(n_docs / flagship_sec, 1) if flagship_sec else None,
