@@ -6,10 +6,12 @@ Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric", "value" (total sec), "unit", "queries" {name: sec},
 "sf", plus docs_per_sec/cpus extras}.
 
---scaling: run the flagship KG pipeline twice (local[8] and local[32])
-in separate JVMs on the same input and report throughput at both plus
-scaling efficiency ((t8/t32)/4) — the sandbox stand-in for the
-north_rule's N vs 4N executor criterion. Results appended to BENCH.md.
+--scaling: run the flagship KG pipeline at local[4] and local[16]
+(N and 4N PHYSICAL cores; see scaling() docstring) in separate JVMs on
+the same input — interleaved, best-of-runs — and report throughput at
+both plus scaling efficiency and the machine's own pure-CPU scaling
+ceiling. The sandbox stand-in for the north_rule's N vs 4N executor
+criterion; results recorded in BENCH.md.
 """
 
 from __future__ import annotations
