@@ -15,6 +15,7 @@ no libm calls, so results are bit-identical before round().
 from __future__ import annotations
 
 from .dictionaries import DISEASE_CANON, DISEASE_RAW, GENE_CANON, GENE_RAW
+from .operators.dedup import MAX_SHINGLE_DF
 from .operators.scorer import BIAS, CUTOFF, MODEL_STEP, N_MODELS, W_CNT, W_COOC
 
 
@@ -286,13 +287,20 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 """
 
 
-def _jaccard_cte(threshold: float) -> str:
+def _jaccard_cte(threshold: float, max_shingle_df: int = MAX_SHINGLE_DF) -> str:
+    # max_shingle_df mirrors dedup.MAX_SHINGLE_DF: sizes over ALL
+    # shingles, intersection over df-capped shingles only
     return f"""
 {SHINGLES},
 sizes AS (SELECT doc_id, CAST(count(*) AS INT) AS n_sh FROM shingles GROUP BY 1),
+capped AS (
+  SELECT * FROM shingles
+  WHERE shingle IN (SELECT shingle FROM shingles
+                    GROUP BY shingle HAVING count(*) <= {max_shingle_df})
+),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS INT) AS n_common
-  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 jpairs AS (
