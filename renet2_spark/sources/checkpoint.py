@@ -36,15 +36,28 @@ LINEAGE_SCHEMA = (
 
 
 def with_part_key(df: DataFrame, key_col: str = "doc_id", buckets: int = 32) -> DataFrame:
+    """Bucket rows by a TYPE-NORMALIZED hash of the key: the key is cast
+    to string before hashing so input buckets (often bigint doc_id) and
+    output buckets (often string doc_id after pipeline casts) agree —
+    xxhash64(7::bigint) != xxhash64('7'), and that mismatch made
+    partial resume overwrite committed partitions with rows rebucketed
+    elsewhere (round-1 advice, high)."""
     return df.withColumn(
-        "part_key", F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets)).cast("int")
+        "part_key",
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(buckets)).cast(
+            "int"
+        ),
     )
 
 
 def input_fingerprint(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
-    """(part_key, input_fingerprint) — order-insensitive md5-xor digest
-    per partition bucket; changes iff the bucket's input rows change."""
-    h = F.md5(F.col(key_col).cast("string"))
+    """(part_key, input_fingerprint) — order-insensitive digest per
+    partition bucket over FULL row content (md5 of the JSON-encoded
+    row struct, summed per bucket): changes iff any of the bucket's
+    input rows change, including non-key columns (round-1 advice:
+    hashing only doc_id served stale output for edited docs)."""
+    cols = sorted(c for c in df.columns if c != "part_key")
+    h = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
     return (
         df.groupBy("part_key")
         .agg(
@@ -124,7 +137,20 @@ class CheckpointStore:
             part_keys = [k for k, _ in todo]
             subset = keyed.filter(F.col("part_key").isin(part_keys))
             out = transform(subset.drop("part_key"))
-            out = with_part_key(out, key_col, buckets)
+            out = with_part_key(out, key_col, buckets).persist()
+            # key-preservation guard: a transform that rewrites key
+            # values would emit rows bucketed OUTSIDE the recomputed
+            # set, and dynamic overwrite would then clobber committed
+            # partitions with partial data — fail loudly instead
+            stray = out.filter(~F.col("part_key").isin(part_keys)).count()
+            if stray:
+                out.unpersist()
+                raise ValueError(
+                    f"run_stage('{stage}'): transform emitted {stray} rows "
+                    f"whose {key_col} hashes outside the recomputed buckets "
+                    f"{sorted(part_keys)} — transforms must preserve "
+                    f"{key_col} values (per-bucket idempotent resume)"
+                )
             # atomic per-partition replace (dynamic overwrite)
             out.write.mode("overwrite").partitionBy("part_key").parquet(
                 self._data_path(stage)
@@ -133,6 +159,7 @@ class CheckpointStore:
                 r["part_key"]: r["n"]
                 for r in out.groupBy("part_key").agg(F.count("*").alias("n")).collect()
             }
+            out.unpersist()
             lin_rows = [
                 (stage, int(k), fp, "COMMITTED", int(counts.get(k, 0)))
                 for k, fp in todo

@@ -86,6 +86,82 @@ def test_input_change_invalidates_bucket(spark, root):
     assert out.count() == 499
 
 
+def test_resume_survives_key_type_change_in_transform(spark, root):
+    """ADVICE r1 (high) repro: bigint doc_id input + a transform that
+    (like build_edges) emits string doc_id. Buckets must agree between
+    input fingerprinting and output partitioning, or a partial resume
+    dynamic-overwrites committed partitions holding other buckets'
+    rows."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )  # doc_id stays BIGINT here
+
+    def transform(df):
+        return df.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.length("text").alias("n_chars2"),
+        )
+
+    store = CheckpointStore(spark, root)
+    out1 = store.run_stage("edges", docs, transform, buckets=8)
+    assert out1.count() == 500
+    # lose one bucket's lineage (simulated crash before commit)
+    lin = store.lineage("edges")
+    keep = lin.filter(F.col("part_key") != 0)
+    keep.write.mode("overwrite").parquet(root + "/edges/lineage_tmp")
+    shutil.rmtree(root + "/edges/lineage")
+    shutil.move(root + "/edges/lineage_tmp", root + "/edges/lineage")
+
+    out2 = store.run_stage("edges", docs, transform, buckets=8)
+    assert out2.count() == 500  # was 61/500 before the fix
+    assert out2.select("doc_id").distinct().count() == 500
+
+
+def test_text_change_same_ids_invalidates_bucket(spark, root):
+    """ADVICE r1 (medium) repro: same doc_id set, changed text content
+    must invalidate the bucket's fingerprint and serve fresh output."""
+    docs = _docs(spark)
+
+    def transform(df):
+        return df.select("doc_id", F.length("text").alias("n_chars2"))
+
+    store = CheckpointStore(spark, root)
+    store.run_stage("stats", docs, transform)
+    docs2 = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == "7", F.concat(F.col("text"), F.lit(" x")))
+        .otherwise(F.col("text")),
+    )
+    out = store.run_stage("stats", docs2, transform)
+    want = docs2.filter(F.col("doc_id") == "7").select(
+        F.length("text")
+    ).collect()[0][0]
+    got = out.filter(F.col("doc_id") == "7").collect()[0]["n_chars2"]
+    assert got == want  # stale before the fix (fingerprint was id-only)
+
+
+def test_key_rewriting_transform_fails_loudly(spark, root):
+    """A transform that REWRITES key values cannot resume idempotently;
+    run_stage must refuse rather than silently lose partitions."""
+    store = CheckpointStore(spark, root)
+    store.run_stage("bad", _docs(spark), lambda df: df)
+    # partial resume (one bucket lost) with a key-rewriting transform:
+    # rewritten keys hash into OTHER buckets -> must refuse
+    lin = store.lineage("bad")
+    keep = lin.filter(F.col("part_key") != 0)
+    keep.write.mode("overwrite").parquet(root + "/bad/lineage_tmp")
+    shutil.rmtree(root + "/bad/lineage")
+    shutil.move(root + "/bad/lineage_tmp", root + "/bad/lineage")
+
+    def bad(df):
+        return df.select(
+            F.concat(F.lit("x"), F.col("doc_id")).alias("doc_id"), "text"
+        )
+
+    with pytest.raises(ValueError, match="hashes outside"):
+        store.run_stage("bad", _docs(spark), bad)
+
+
 def test_metrics_roundtrip(spark, root):
     store = CheckpointStore(spark, root)
     store.record_metrics("tag", {"docs_per_sec": 123.4, "mentions": 11233})
