@@ -125,6 +125,61 @@ def q_mentions_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mentions_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation-cleaning chain over span-bearing mentions (reference
+    hot path order: clean_anns cross-sentence drop -> make_tags joint
+    fusion -> overlap merge; raw.py:615-895, ann_utils.py:13-23,
+    sequence_utils.py:2-80). Uses the extension dictionary + the
+    bigram tagger so every rule observably fires on the driver corpus
+    (see dictionaries.py)."""
+    from renet2_spark.dictionaries import entity_dict_ext_df
+    from renet2_spark.operators.anncleaner import (
+        drop_cross_sentence,
+        fuse_joint_tags,
+        merge_overlaps,
+    )
+    from renet2_spark.operators.tagger import tag_multiword
+
+    docs = _docs(spark, sf_dir)
+    sentences = sentences_from_spans(derive_spans(docs))
+    base = tag_mentions(sentences, spark, entity_dict=entity_dict_ext_df(spark))
+    mw = tag_multiword(docs, spark)
+    mentions = base.unionByName(mw.select(*base.columns))
+    mentions = canonicalize_mentions(mentions)
+    mentions = drop_cross_sentence(mentions, sentences)
+    mentions = merge_overlaps(fuse_joint_tags(mentions))
+    return mentions.select(
+        "doc_id", "sent_no", "tok_no", "start", "end", "mention", "type",
+        "entity_id",
+    )
+
+
+def q_mentions_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc truncation caps in the mention path (reference
+    raw.py:648-698). The reference constants (500 sents / 512 tokens /
+    135k chars) never bind on this corpus, so the query runs the SAME
+    operators with tightened constants (4 sents / 7 tokens / 200
+    chars) to make the rules observable; the operators' defaults stay
+    the reference's."""
+    from renet2_spark.operators.caps import (
+        cap_mentions,
+        cap_sentences,
+        cap_tokens,
+    )
+
+    sentences = sentences_from_spans(derive_spans(_docs(spark, sf_dir)))
+    capped = cap_tokens(
+        cap_sentences(sentences, max_sents=4, max_chars=200), max_tokens=7
+    )
+    mentions = cap_mentions(
+        tag_mentions(capped, spark), max_sents=4, max_tokens=7
+    )
+    return canonicalize_mentions(mentions).select(
+        "doc_id", "sent_no", "tok_no", "start", "end", "mention", "type",
+        "entity_id",
+    )
+
+
 def q_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sentence_pair_candidates(_mentions(spark, sf_dir))
 
@@ -163,6 +218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_media": q_media,
         "kg_mentions": q_mentions,
         "kg_mentions_raw": q_mentions_raw,
+        "kg_mentions_clean": q_mentions_clean,
+        "kg_mentions_capped": q_mentions_capped,
         "kg_pairs": q_pairs,
         "kg_pairs_doc": q_pairs_doc,
         "kg_scores": q_scores,
@@ -225,6 +282,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_media": oracles.q_media(),
         "kg_mentions": oracles.q_mentions(canon=True),
         "kg_mentions_raw": oracles.q_mentions(canon=False),
+        "kg_mentions_clean": oracles.q_mentions_clean(),
+        "kg_mentions_capped": oracles.q_mentions_capped(),
         "kg_pairs": oracles.q_pairs(),
         "kg_pairs_doc": oracles.q_pairs_doc(),
         "kg_scores": oracles.q_scores(),

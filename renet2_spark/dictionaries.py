@@ -59,6 +59,26 @@ HUMAN_GENES: set[str] = {
     "1001", "1002", "1003", "1004", "1005", "1006", "1007", "1008",
 }
 
+# ---- extension dictionary for the annotation-cleaning queries ----------
+# Used ONLY by kg_mentions_clean/kg_mentions_capped (not the flagship
+# dict), these surfaces make every make_tags cleaning rule observable
+# on the driver corpus:
+#   * 'table' is BOTH a gene and a disease -> joint-tag fusion fires
+#     (reference sequence_utils.py:17-26 composite 'g>-<d')
+#   * 'sort merge' is a TWO-token disease surface -> it overlaps the
+#     single-token 'sort'/'merge' gene mentions (overlap merge,
+#     sequence_utils.py:42-80) and, when it straddles a sentence
+#     boundary (token index 9 -> 10), the cross-sentence drop fires
+#     (ann_utils.py:13-23)
+GENE_EXT_RAW: dict[str, str] = {"table": "1009"}
+DISEASE_EXT_RAW: dict[str, str] = {"table": "MESH:D0006"}
+GENE_EXT_CANON: dict[str, str] = {"table": "1009"}
+DISEASE_EXT_CANON: dict[str, str] = {"table": "D0006"}
+# two-token disease surfaces: surface -> (raw_id, canonical_id)
+MULTIWORD_DISEASE: dict[str, tuple[str, str]] = {
+    "sort merge": ("MESH:D0008", "D0008"),
+}
+
 # canonical (post-normalization) ids — what the oracle SQL inlines
 GENE_CANON: dict[str, str] = {
     "scan": "1001", "join": "1002", "hash": "1003", "merge": "1004",
@@ -125,6 +145,23 @@ def entity_dict_df(spark: SparkSession) -> DataFrame:
     rows = [(s, "Gene", r, GENE_CANON[s]) for s, r in GENE_RAW.items()] + [
         (s, "Disease", r, DISEASE_CANON[s]) for s, r in DISEASE_RAW.items()
     ]
+    return spark.createDataFrame(
+        rows, "surface string, type string, raw_id string, entity_id string"
+    )
+
+
+def entity_dict_ext_df(spark: SparkSession) -> DataFrame:
+    """entity_dict_df plus the cleaning-fixture surfaces (single-token
+    only; multiword surfaces go through tagger.tag_multiword)."""
+    rows = (
+        [(s, "Gene", r, GENE_CANON[s]) for s, r in GENE_RAW.items()]
+        + [(s, "Disease", r, DISEASE_CANON[s]) for s, r in DISEASE_RAW.items()]
+        + [(s, "Gene", r, GENE_EXT_CANON[s]) for s, r in GENE_EXT_RAW.items()]
+        + [
+            (s, "Disease", r, DISEASE_EXT_CANON[s])
+            for s, r in DISEASE_EXT_RAW.items()
+        ]
+    )
     return spark.createDataFrame(
         rows, "surface string, type string, raw_id string, entity_id string"
     )

@@ -3,10 +3,12 @@
 Reference semantics:
 * make_tags overlap handling (src/renet2/utils/sequence_utils.py:2-80):
   annotations sorted by (start, end); two anns with identical
-  (sent, start, end) but different types fuse into a composite
-  Gene-Disease tag with id 'g>-<d' (lines 17-26); an ann overlapping
-  the previous span (start <= prev_end) is merged away, keeping the
-  earlier/wider span (lines 51-69).
+  (sent, start, end, mention) but different types fuse into a
+  composite Gene-Disease tag with id 'g>-<d' (lines 17-26, gene id
+  first); an ann overlapping the previous tag (start <= prev end)
+  REPLACES it with a merged span [prev.start, new.end] carrying the
+  NEW tag's identity, and the running end becomes the new tag's end
+  (lines 42-80).
 * clean_anns_in_different_sent (src/renet2/utils/ann_utils.py:13-23,
   122-125): drop annotations whose char span crosses a sentence
   boundary. (disambiguate_anns/unify_anns at 28-120 are dead code —
@@ -29,10 +31,16 @@ JOINT_SEP = ">-<"  # reference sequence_utils.py:22-25 composite id
 
 
 def fuse_joint_tags(mentions: DataFrame) -> DataFrame:
-    """Same (doc, sent_no, start, end) with BOTH a Gene and a Disease
-    annotation -> one composite mention of type 'Gene-Disease' with
-    entity_id 'gene>-<disease' (reference sequence_utils.py:17-26)."""
-    keys = ["doc_id", "sent_no", "start", "end"]
+    """Same (doc, sent_no, start, end, mention) with BOTH a Gene and a
+    Disease annotation -> one composite mention of type 'Gene-Disease'
+    with entity_id 'gene>-<disease' (reference sequence_utils.py:17-26;
+    gene id first). Works on span-bearing mentions (start/end char
+    offsets) and on the token-coordinate fast-tagger output (keys fall
+    back to tok_no when start/end are absent — same granularity, the
+    fast tagger emits one mention per token)."""
+    keys = ["doc_id", "sent_no"] + [
+        c for c in ("start", "end") if c in mentions.columns
+    ]
     agg = mentions.groupBy(*keys, "mention", "tok_no").agg(
         F.max(F.when(F.col("type") == "Gene", F.col("entity_id"))).alias("g"),
         F.max(F.when(F.col("type") == "Disease", F.col("entity_id"))).alias("d"),
@@ -60,51 +68,56 @@ def fuse_joint_tags(mentions: DataFrame) -> DataFrame:
 
 
 def merge_overlaps(mentions: DataFrame) -> DataFrame:
-    """Drop annotations overlapping the last KEPT span in (start, end)
-    order within (doc, sent) (reference sequence_utils.py:51-69 tracks
-    the previous kept/merged span — NOT a running max over dropped
-    rows: after [0,10) drops [5,12), a following [11,15) is kept).
+    """Extend-and-replace overlap merge, faithful to the reference scan
+    (sequence_utils.py:42-80): annotations sorted by (start, end)
+    within (doc, sent); a tag overlapping the previous tag (start <=
+    prev inclusive end, i.e. start < prev exclusive end here) REPLACES
+    the previously kept tag with a merged span [kept.start, new.end]
+    carrying the NEW tag's mention/type/entity_id, and the running end
+    becomes the NEW tag's end (so a contained span SHRINKS the running
+    end — the reference's `last_end` tracks the last element, not a
+    max; round-1 advice fix: the old version kept the earlier span and
+    dropped the newcomer).
 
-    Stateful linear scan -> per-sentence sorted-array fold (bounded by
-    the reference's 512-token sentence cap); one doc-keyed shuffle."""
-    payload = F.struct(
-        "start", "end", "tok_no", "mention", "type", "entity_id"
-    )
-    per_sent = mentions.groupBy("doc_id", "sent_no").agg(
-        F.sort_array(F.collect_list(payload)).alias("arr")
-    )
-    empty = F.struct(
-        F.array()
-        .cast(
-            "array<struct<start:int,end:int,tok_no:int,mention:string,"
-            "type:string,entity_id:string>>"
-        )
-        .alias("kept"),
-        F.lit(-1).cast("int").alias("cur_end"),
-    )
-    kept = F.aggregate(
-        F.col("arr"),
-        empty,
-        lambda acc, m: F.when(
-            m["start"] >= acc["cur_end"],
-            F.struct(
-                F.concat(acc["kept"], F.array(m)).alias("kept"),
-                F.greatest(acc["cur_end"], m["end"]).alias("cur_end"),
-            ),
-        ).otherwise(acc),
-        lambda acc: acc["kept"],
+    Because the running end after each element is always that element's
+    own end, chains break exactly where start >= lag(end) in scan
+    order — so the stateful scan is two window functions + one grouped
+    aggregation (codegen'd built-ins, one (doc, sent)-keyed shuffle):
+    per chain emit first.start / last.end / first.tok_no and the LAST
+    element's identity."""
+    from pyspark.sql import Window as W
+
+    order = [
+        F.asc("start"), F.asc("end"), F.asc("mention"), F.asc("type"),
+        F.asc("entity_id"), F.asc("tok_no"),
+    ]
+    w = W.partitionBy("doc_id", "sent_no").orderBy(*order)
+    prev_end = F.lag("end").over(w)
+    new_chain = (
+        prev_end.isNull() | (F.col("start") >= prev_end)
+    ).cast("int")
+    rn = F.row_number().over(w)
+    chained = mentions.select(
+        "doc_id", "sent_no", "tok_no", "start", "end", "mention", "type",
+        "entity_id",
+        rn.alias("_rn"),
+        F.sum(new_chain)
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("_chain"),
     )
     return (
-        per_sent.select("doc_id", "sent_no", F.explode(kept).alias("m"))
+        chained.groupBy("doc_id", "sent_no", "_chain")
+        .agg(
+            F.min_by("tok_no", "_rn").alias("tok_no"),
+            F.min_by("start", "_rn").alias("start"),
+            F.max_by("end", "_rn").alias("end"),
+            F.max_by("mention", "_rn").alias("mention"),
+            F.max_by("type", "_rn").alias("type"),
+            F.max_by("entity_id", "_rn").alias("entity_id"),
+        )
         .select(
-            "doc_id",
-            "sent_no",
-            F.col("m.tok_no").alias("tok_no"),
-            F.col("m.start").alias("start"),
-            F.col("m.end").alias("end"),
-            F.col("m.mention").alias("mention"),
-            F.col("m.type").alias("type"),
-            F.col("m.entity_id").alias("entity_id"),
+            "doc_id", "sent_no", "tok_no", "start", "end", "mention",
+            "type", "entity_id",
         )
     )
 

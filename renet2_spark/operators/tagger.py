@@ -154,6 +154,66 @@ def tag_mentions_udf(sentences: DataFrame) -> DataFrame:
     return cols.mapInPandas(run, schema=_MENTION_SCHEMA)
 
 
+def tag_multiword(documents: DataFrame, spark: SparkSession,
+                  mw_dict: DataFrame | None = None) -> DataFrame:
+    """Multi-token (bigram) dictionary tagger over the DOC-level word
+    stream — unlike the per-sentence token tagger it can emit spans
+    that straddle a sentence boundary (token 9 -> 10), which is exactly
+    what the cross-sentence drop (anncleaner.drop_cross_sentence,
+    reference ann_utils.py:13-23) exists to remove, and spans that
+    overlap single-token mentions (overlap merge, sequence_utils.py:
+    42-80). Row-local bigram fan-out from the word array (narrow), then
+    a broadcast dictionary join — same scale shape as tag_mentions.
+
+    Output schema matches tag_mentions; sent_no/tok_no are the FIRST
+    token's coordinates (reference anchors a tag at its begin token,
+    ann_utils.py:209-226)."""
+    from ..corpus import SENT_WORDS
+    from ..dictionaries import MULTIWORD_DISEASE
+
+    if mw_dict is None:
+        mw_dict = spark.createDataFrame(
+            [(s, "Disease", r) for s, (r, _c) in MULTIWORD_DISEASE.items()],
+            "surface string, type string, raw_id string",
+        )
+    words = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(0))),
+        lambda i: F.struct(
+            i.cast("int").alias("k"),
+            # F.get is 0-indexed and null (not ANSI error) out of bounds
+            F.get(words, i).alias("t1"),
+            F.get(words, i + 1).alias("t2"),
+            # char offset of token i in the ' '-joined text
+            F.when(i == 0, F.lit(0))
+            .otherwise(F.length(F.array_join(F.slice(words, 1, i), " ")) + 1)
+            .cast("int")
+            .alias("start"),
+        ),
+    )
+    tok = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(grams).alias("g"),
+    ).filter(F.col("g.t2").isNotNull())
+    surface = F.lower(F.concat_ws(" ", F.col("g.t1"), F.col("g.t2")))
+    return (
+        tok.join(F.broadcast(mw_dict), surface == mw_dict.surface, "inner")
+        .select(
+            "doc_id",
+            (F.col("g.k") / SENT_WORDS).cast("int").alias("sent_no"),
+            F.pmod(F.col("g.k"), F.lit(SENT_WORDS)).cast("int").alias("tok_no"),
+            F.col("g.start").alias("start"),
+            (
+                F.col("g.start")
+                + F.length("g.t1") + F.lit(1) + F.length("g.t2")
+            ).cast("int").alias("end"),
+            F.concat_ws(" ", F.col("g.t1"), F.col("g.t2")).alias("mention"),
+            "type",
+            "raw_id",
+        )
+    )
+
+
 def verify_mentions(mentions: DataFrame, documents: DataFrame) -> DataFrame:
     """Drop mentions whose doc-text substring mismatches (reference F5,
     parse_data.py:137-144 / 287-295). Broadcast-joins the doc text in

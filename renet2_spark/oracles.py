@@ -14,7 +14,17 @@ no libm calls, so results are bit-identical before round().
 
 from __future__ import annotations
 
-from .dictionaries import DISEASE_CANON, DISEASE_RAW, GENE_CANON, GENE_RAW
+from .dictionaries import (
+    DISEASE_CANON,
+    DISEASE_EXT_CANON,
+    DISEASE_EXT_RAW,
+    DISEASE_RAW,
+    GENE_CANON,
+    GENE_EXT_CANON,
+    GENE_EXT_RAW,
+    GENE_RAW,
+    MULTIWORD_DISEASE,
+)
 from .operators.dedup import MAX_SHINGLE_DF
 from .operators.scorer import BIAS, CUTOFF, MODEL_STEP, N_MODELS, W_CNT, W_COOC
 
@@ -50,6 +60,35 @@ def edict_canon() -> str:
         f"('{s}', 'Disease', '{DISEASE_CANON[s]}')" for s in DISEASE_RAW
     )
     return f"(VALUES {rows}) AS e(surface, type, entity_id)"
+
+
+def edict_ext_canon() -> str:
+    """Base dict + cleaning-fixture single-token surfaces (canonical
+    ids) — mirrors dictionaries.entity_dict_ext_df."""
+    rows = (
+        ", ".join(f"('{s}', 'Gene', '{GENE_CANON[s]}')" for s in GENE_RAW)
+        + ", "
+        + ", ".join(
+            f"('{s}', 'Disease', '{DISEASE_CANON[s]}')" for s in DISEASE_RAW
+        )
+        + ", "
+        + ", ".join(
+            f"('{s}', 'Gene', '{GENE_EXT_CANON[s]}')" for s in GENE_EXT_RAW
+        )
+        + ", "
+        + ", ".join(
+            f"('{s}', 'Disease', '{DISEASE_EXT_CANON[s]}')"
+            for s in DISEASE_EXT_RAW
+        )
+    )
+    return f"(VALUES {rows}) AS e(surface, type, entity_id)"
+
+
+def mwdict_canon() -> str:
+    rows = ", ".join(
+        f"('{s}', '{c}')" for s, (_r, c) in MULTIWORD_DISEASE.items()
+    )
+    return f"(VALUES {rows}) AS mw(surface, disease_id)"
 
 
 # ---- shared CTE fragments over the documents view -----------------------
@@ -146,7 +185,105 @@ SELECT doc_id,
             ELSE length(array_to_string(ws[1:k], ' ')) + 1 END
             + length(token) AS INT) AS "end",
        token AS mention, e.type AS type, e.{idcol} AS {idcol}
-FROM toks JOIN {ed} ON token = e.surface
+FROM toks JOIN {ed} ON lower(token) = e.surface
+"""
+
+
+def q_mentions_clean() -> str:
+    """Cleaning chain: singles+bigrams -> cross-sentence drop -> joint
+    fusion -> extend-and-replace overlap merge (chain formulation:
+    the running end after each scanned tag is that tag's own end, so
+    chains break exactly at start >= lag(end) in scan order; per chain
+    keep first.start/tok_no, last.end and the LAST tag's identity)."""
+    return f"""
+WITH {TOKS},
+pos AS (
+  SELECT doc_id, ws, k, token,
+         CAST(CASE WHEN k = 0 THEN 0
+              ELSE length(array_to_string(ws[1:k], ' ')) + 1 END AS INT)
+           AS start
+  FROM toks
+),
+sing AS (
+  SELECT doc_id, CAST(k // 10 AS INT) AS sent_no, CAST(k % 10 AS INT) AS tok_no,
+         start, CAST(start + length(token) AS INT) AS "end",
+         token AS mention, e.type AS type, e.entity_id AS entity_id, ws
+  FROM pos JOIN {edict_ext_canon()} ON lower(token) = e.surface
+),
+mwm AS (
+  SELECT doc_id, CAST(k // 10 AS INT) AS sent_no, CAST(k % 10 AS INT) AS tok_no,
+         start,
+         CAST(start + length(token) + 1 + length(ws[k + 2]) AS INT) AS "end",
+         token || ' ' || ws[k + 2] AS mention, 'Disease' AS type,
+         mw.disease_id AS entity_id, ws
+  FROM pos JOIN {mwdict_canon()}
+    ON k + 2 <= len(ws) AND lower(token || ' ' || ws[k + 2]) = mw.surface
+),
+allm AS (SELECT * FROM sing UNION ALL SELECT * FROM mwm),
+cs AS (
+  SELECT * FROM allm
+  WHERE "end" <= length(array_to_string(
+        ws[1:least((sent_no + 1) * 10, len(ws))], ' '))
+),
+fused AS (
+  SELECT doc_id, sent_no, tok_no, start, "end", mention,
+         CASE WHEN g IS NOT NULL AND d IS NOT NULL THEN 'Gene-Disease'
+              WHEN g IS NOT NULL THEN 'Gene' ELSE 'Disease' END AS type,
+         CASE WHEN g IS NOT NULL AND d IS NOT NULL THEN g || '>-<' || d
+              WHEN g IS NOT NULL THEN g ELSE d END AS entity_id
+  FROM (SELECT doc_id, sent_no, tok_no, start, "end", mention,
+               max(CASE WHEN type = 'Gene' THEN entity_id END) AS g,
+               max(CASE WHEN type = 'Disease' THEN entity_id END) AS d
+        FROM cs GROUP BY 1, 2, 3, 4, 5, 6)
+),
+chains AS (
+  SELECT *,
+         sum(CASE WHEN prev_end IS NULL OR start >= prev_end
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id, sent_no
+                 ORDER BY start, "end", mention, type, entity_id, tok_no
+                 ROWS UNBOUNDED PRECEDING) AS chain
+  FROM (SELECT *,
+               lag("end") OVER w AS prev_end,
+               row_number() OVER w AS rn
+        FROM fused
+        WINDOW w AS (PARTITION BY doc_id, sent_no
+                     ORDER BY start, "end", mention, type, entity_id, tok_no))
+)
+SELECT doc_id, sent_no,
+       CAST(min_by(tok_no, rn) AS INT) AS tok_no,
+       CAST(min_by(start, rn) AS INT) AS start,
+       CAST(max_by("end", rn) AS INT) AS "end",
+       max_by(mention, rn) AS mention,
+       max_by(type, rn) AS type,
+       max_by(entity_id, rn) AS entity_id
+FROM chains GROUP BY doc_id, sent_no, chain
+"""
+
+
+def q_mentions_capped(max_sents: int = 4, max_tokens: int = 7,
+                      max_chars: int = 200) -> str:
+    """Caps: sentence s kept iff s < max_sents and its char offset <
+    max_chars; each kept sentence truncated to max_tokens tokens —
+    i.e. token k survives iff k//10 < max_sents, k%10 < max_tokens,
+    offset(k//10) < max_chars."""
+    return f"""
+WITH {TOKS}
+SELECT doc_id,
+       CAST(k // 10 AS INT) AS sent_no,
+       CAST(k % 10 AS INT) AS tok_no,
+       CAST(CASE WHEN k = 0 THEN 0
+            ELSE length(array_to_string(ws[1:k], ' ')) + 1 END AS INT) AS start,
+       CAST(CASE WHEN k = 0 THEN 0
+            ELSE length(array_to_string(ws[1:k], ' ')) + 1 END
+            + length(token) AS INT) AS "end",
+       token AS mention, e.type AS type, e.entity_id AS entity_id
+FROM toks JOIN {edict_canon()} ON lower(token) = e.surface
+WHERE k // 10 < {max_sents}
+  AND k % 10 < {max_tokens}
+  AND (CASE WHEN k // 10 = 0 THEN 0
+       ELSE length(array_to_string(ws[1:(k // 10) * 10], ' ')) + 1 END)
+      < {max_chars}
 """
 
 
@@ -155,11 +292,11 @@ def _pairs_cte() -> str:
 {SENTS},
 sg AS (
   SELECT doc_id, sent_no, g.gene_id
-  FROM sents JOIN {gdict()} ON list_contains(sw, g.surface)
+  FROM sents JOIN {gdict()} ON list_contains(list_transform(sw, t -> lower(t)), g.surface)
 ),
 sd AS (
   SELECT doc_id, sent_no, d.disease_id
-  FROM sents JOIN {ddict()} ON list_contains(sw, d.surface)
+  FROM sents JOIN {ddict()} ON list_contains(list_transform(sw, t -> lower(t)), d.surface)
 ),
 pairs AS (
   SELECT doc_id, gene_id, disease_id, CAST(count(*) AS INT) AS n_cooc_sents
@@ -176,9 +313,9 @@ def q_pairs_doc() -> str:
     return f"""
 WITH {TOKS},
 dg AS (SELECT DISTINCT doc_id, g.gene_id
-       FROM toks JOIN {gdict()} ON token = g.surface),
+       FROM toks JOIN {gdict()} ON lower(token) = g.surface),
 dd AS (SELECT DISTINCT doc_id, d.disease_id
-       FROM toks JOIN {ddict()} ON token = d.surface)
+       FROM toks JOIN {ddict()} ON lower(token) = d.surface)
 SELECT doc_id, gene_id, disease_id FROM dg JOIN dd USING (doc_id)
 """
 
@@ -191,11 +328,11 @@ tok AS (
 ),
 gc AS (
   SELECT doc_id, g.gene_id, CAST(count(*) AS INT) AS n_g
-  FROM tok JOIN {gdict()} ON token = g.surface GROUP BY 1, 2
+  FROM tok JOIN {gdict()} ON lower(token) = g.surface GROUP BY 1, 2
 ),
 dc AS (
   SELECT doc_id, d.disease_id, CAST(count(*) AS INT) AS n_d
-  FROM tok JOIN {ddict()} ON token = d.surface GROUP BY 1, 2
+  FROM tok JOIN {ddict()} ON lower(token) = d.surface GROUP BY 1, 2
 ),
 feats AS (
   SELECT p.doc_id, p.gene_id, p.disease_id, p.n_cooc_sents, gc.n_g, dc.n_d
@@ -241,12 +378,12 @@ voted AS (SELECT * FROM scored WHERE hit_cnt >= {CUTOFF}),
 gnames AS (
   SELECT doc_id, g.gene_id,
          string_agg(DISTINCT token, '|' ORDER BY token) AS g_name
-  FROM tok JOIN {gdict()} ON token = g.surface GROUP BY 1, 2
+  FROM tok JOIN {gdict()} ON lower(token) = g.surface GROUP BY 1, 2
 ),
 dnames AS (
   SELECT doc_id, d.disease_id,
          string_agg(DISTINCT token, '|' ORDER BY token) AS d_name
-  FROM tok JOIN {ddict()} ON token = d.surface GROUP BY 1, 2
+  FROM tok JOIN {ddict()} ON lower(token) = d.surface GROUP BY 1, 2
 )
 SELECT v.doc_id, v.gene_id, 'associated_with' AS predicate, v.disease_id,
        gn.g_name, dn.d_name, v.prob_avg, v.hit_cnt
@@ -262,7 +399,7 @@ WITH {TOKS}
 SELECT e.type AS type, e.entity_id AS entity_id,
        CAST(count(*) AS BIGINT) AS n_mentions,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-FROM toks JOIN {edict_canon()} ON token = e.surface
+FROM toks JOIN {edict_canon()} ON lower(token) = e.surface
 GROUP BY 1, 2
 """
 

@@ -38,9 +38,23 @@ def build_mentions(spark: SparkSession, documents: DataFrame) -> DataFrame:
     # (pair-gen/scoring never read them); equals the span-derived
     # tagger on (doc_id, sent_no, tok_no, mention, type) — asserted
     # in tests/test_invariant.py
+    #
+    # Cleaning chain (reference hot path raw.py:615-895 + make_tags):
+    # joint-tag fusion always applies after canonicalization — it is
+    # the only make_tags rule reachable from a token-granularity
+    # tagger (one mention per token: spans can collide exactly, never
+    # partially overlap, and never cross a sentence). Span-granularity
+    # rules (overlap merge, cross-sentence drop) live on the
+    # span-bearing extraction path (kg_mentions_clean in
+    # __spark_entry__, tag_mentions + tag_multiword). The fusion
+    # groupBy shuffles MENTION rows only (a small fraction of tokens),
+    # keyed by (doc, sent, tok) — document-uniform, skew-immune.
+    from ..operators.anncleaner import fuse_joint_tags
     from ..operators.tagger import tag_mentions_fast
 
-    return canonicalize_mentions(tag_mentions_fast(documents, spark))
+    return fuse_joint_tags(
+        canonicalize_mentions(tag_mentions_fast(documents, spark))
+    )
 
 
 def build_edges(

@@ -85,22 +85,50 @@ def test_fuse_joint_tags(spark):
     assert got == {(0, "Gene-Disease", "g1>-<D1"), (10, "Gene", "g2")}
 
 
-def test_merge_overlaps_chains(spark):
+def test_merge_overlaps_extend_and_replace_chain(spark):
+    """Reference semantics (sequence_utils.py:42-80): an overlapping
+    tag REPLACES the kept one with span [kept.start, new.end] and the
+    NEW identity; running end = each scanned tag's own end, so the
+    whole overlapping run collapses into ONE tag carrying the LAST
+    tag's identity."""
     from renet2_spark.operators.anncleaner import merge_overlaps
 
     df = spark.createDataFrame(
         [
             _m("d", 0, 0, 0, 10, "aaaa", "Gene", "g1"),
-            _m("d", 0, 1, 5, 12, "bbbb", "Gene", "g2"),   # overlaps g1 -> drop
-            _m("d", 0, 2, 11, 15, "cccc", "Gene", "g3"),  # overlaps g2 but g2
-            # dropped; still overlaps g1's running end 10? 11 >= 10 -> keep
-            _m("d", 0, 3, 14, 20, "dddd", "Gene", "g4"),  # overlaps kept g3 -> drop
+            _m("d", 0, 1, 5, 12, "bbbb", "Gene", "g2"),   # 5 < 10 -> merge
+            _m("d", 0, 2, 11, 15, "cccc", "Gene", "g3"),  # 11 < 12 -> merge
+            _m("d", 0, 3, 14, 20, "dddd", "Gene", "g4"),  # 14 < 15 -> merge
             _m("d", 1, 0, 0, 5, "eeee", "Gene", "g5"),    # other sentence
         ],
         MSCHEMA,
     )
-    kept = {r["entity_id"] for r in merge_overlaps(df).collect()}
-    assert kept == {"g1", "g3", "g5"}
+    got = {
+        (r["sent_no"], r["start"], r["end"], r["entity_id"], r["tok_no"])
+        for r in merge_overlaps(df).collect()
+    }
+    assert got == {(0, 0, 20, "g4", 0), (1, 0, 5, "g5", 0)}
+
+
+def test_merge_overlaps_contained_span_shrinks_running_end(spark):
+    """The reference tracks last_end = the LAST tag's end (not a max):
+    after [0,10) merges contained [2,5), a following [6,8) starts a
+    NEW chain (6 >= 5) even though it overlaps the original [0,10)."""
+    from renet2_spark.operators.anncleaner import merge_overlaps
+
+    df = spark.createDataFrame(
+        [
+            _m("d", 0, 0, 0, 10, "aaaa", "Gene", "g1"),
+            _m("d", 0, 1, 2, 5, "bb", "Gene", "g2"),
+            _m("d", 0, 2, 6, 8, "cc", "Gene", "g3"),
+        ],
+        MSCHEMA,
+    )
+    got = {
+        (r["start"], r["end"], r["entity_id"])
+        for r in merge_overlaps(df).collect()
+    }
+    assert got == {(0, 5, "g2"), (6, 8, "g3")}
 
 
 def test_drop_cross_sentence(spark):
