@@ -188,6 +188,54 @@ def q_pairs_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_pair_candidates(_mentions(spark, sf_dir))
 
 
+def q_pairs_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 labels join IN the KG pipeline (reference raw_handler.py:
+    35-49): sentence-cooccurrence pairs left-join the deterministic
+    label fixture (values 0/0.5/1; ~half the pairs unlabeled) +
+    fillna(0)."""
+    from renet2_spark.operators.labels import join_labels, synthetic_labels
+
+    m = _mentions(spark, sf_dir)
+    pairs = sentence_pair_candidates(m)
+    labels = synthetic_labels(doc_pair_candidates(m))
+    return join_labels(pairs, labels)
+
+
+def q_unify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 per-doc id unification driven end-to-end (reference
+    normalize_ann.py:26-49): mentions are salted with a token-parity
+    id suffix so the same surface carries TWO ids per doc; unify must
+    rewrite every member to the component representative — the id with
+    the highest per-doc mention count, ties broken by id desc."""
+    from renet2_spark.operators.normalize import unify_doc_ids
+
+    m = _mentions(spark, sf_dir)
+    salted = m.withColumn(
+        "entity_id",
+        F.concat(
+            F.col("entity_id"),
+            F.lit("_"),
+            F.pmod(F.col("tok_no"), F.lit(2)).cast("string"),
+        ),
+    )
+    return unify_doc_ids(salted).select(
+        "doc_id", "sent_no", "tok_no", "mention", "type", "entity_id"
+    )
+
+
+def q_scores_probx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 prob formatting end-to-end: per-model probs ';'-joined with
+    5-decimal formatting (reference predict.py:131-136, '{:,.5f}' —
+    probs are <= 1.0 so the comma grouping never appears; Spark
+    format_number replicates it for values >= 1000)."""
+    from renet2_spark.operators.scorer import score_and_vote
+
+    scored = score_and_vote(pair_features(_mentions(spark, sf_dir)), cutoff=0)
+    return scored.select(
+        "doc_id", "gene_id", "disease_id", "hit_cnt", "prob_avg", "prob_X"
+    )
+
+
 def q_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = ensemble_vote(
         score_pairs(pair_features(_mentions(spark, sf_dir))), cutoff=0
@@ -222,7 +270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_capped": q_mentions_capped,
         "kg_pairs": q_pairs,
         "kg_pairs_doc": q_pairs_doc,
+        "kg_pairs_labeled": q_pairs_labeled,
+        "kg_unify": q_unify,
         "kg_scores": q_scores,
+        "kg_scores_probx": q_scores_probx,
         "kg_edges": q_edges,
         "kg_nodes": q_nodes,
         # neural CNN+BiGRU ensemble variant (not SQL-expressible —
@@ -286,7 +337,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions_capped": oracles.q_mentions_capped(),
         "kg_pairs": oracles.q_pairs(),
         "kg_pairs_doc": oracles.q_pairs_doc(),
+        "kg_pairs_labeled": oracles.q_pairs_labeled(),
+        "kg_unify": oracles.q_unify(),
         "kg_scores": oracles.q_scores(),
+        "kg_scores_probx": oracles.q_scores_probx(),
         "kg_edges": oracles.q_edges(),
         "kg_nodes": oracles.q_nodes(),
         "dedup_exact": oracles.q_dedup_exact(),

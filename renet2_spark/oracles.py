@@ -342,6 +342,68 @@ feats AS (
 )"""
 
 
+def q_pairs_labeled() -> str:
+    """J1 labels join: sentence pairs LEFT-join the deterministic label
+    fixture (operators/labels.py) + fillna(0)."""
+    return f"""
+WITH {_pairs_cte()},
+dg AS (SELECT DISTINCT doc_id, g.gene_id
+       FROM sents, unnest(sw) AS u(token)
+       JOIN {gdict()} ON lower(u.token) = g.surface),
+dd AS (SELECT DISTINCT doc_id, d.disease_id
+       FROM sents, unnest(sw) AS u(token)
+       JOIN {ddict()} ON lower(u.token) = d.surface),
+doc_pairs AS (SELECT doc_id, gene_id, disease_id FROM dg JOIN dd USING (doc_id)),
+labels AS (
+  SELECT doc_id, gene_id, disease_id,
+         CASE WHEN dgt < 4 THEN 1.0 WHEN dgt < 6 THEN 0.5 ELSE 0.0 END AS label
+  FROM (SELECT *,
+               strpos('0123456789abcdef',
+                      substr(md5(doc_id || ':' || gene_id || ':' || disease_id),
+                             1, 1)) - 1 AS dgt
+        FROM doc_pairs)
+  WHERE dgt < 8
+)
+SELECT p.doc_id, p.gene_id, p.disease_id, p.n_cooc_sents,
+       coalesce(l.label, 0.0) AS label
+FROM pairs p
+LEFT JOIN labels l
+  ON p.doc_id = l.doc_id AND p.gene_id = l.gene_id
+  AND p.disease_id = l.disease_id
+"""
+
+
+def q_unify() -> str:
+    """A6 per-doc id unification over parity-salted ids: components are
+    per-(doc, type, surface) star graphs here (each salted id maps to
+    exactly one surface), so the representative — max mention count,
+    ties by id desc (reference normalize_ann.py:26-49) — reduces to a
+    per-surface argmax over (count, id)."""
+    return f"""
+WITH {TOKS},
+m AS (
+  SELECT doc_id, CAST(k // 10 AS INT) AS sent_no, CAST(k % 10 AS INT) AS tok_no,
+         token AS mention, e.type AS type, e.surface AS surface,
+         e.entity_id || '_' || CAST((k % 10) % 2 AS VARCHAR) AS entity_id
+  FROM toks JOIN {edict_canon()} ON lower(token) = e.surface
+),
+cnt AS (
+  SELECT doc_id, type, surface, entity_id, count(*) AS n
+  FROM m GROUP BY 1, 2, 3, 4
+),
+rep AS (
+  SELECT doc_id, type, surface,
+         split_part(max(printf('%08d', n) || '|' || entity_id), '|', 2)
+           AS rep_id
+  FROM cnt GROUP BY 1, 2, 3
+)
+SELECT m.doc_id, m.sent_no, m.tok_no, m.mention, m.type,
+       r.rep_id AS entity_id
+FROM m JOIN rep r
+  ON m.doc_id = r.doc_id AND m.type = r.type AND m.surface = r.surface
+"""
+
+
 def _prob_expr(i: int) -> str:
     logit = (
         f"({W_COOC} * CAST(n_cooc_sents AS DOUBLE)"
@@ -369,6 +431,21 @@ scored AS (
 
 def q_scores() -> str:
     return f"WITH {_scored_cte()} SELECT * FROM scored"
+
+
+def q_scores_probx() -> str:
+    """T8: ';'-joined per-model probs at 5 decimals (reference
+    '{:,.5f}', predict.py:131-136). printf('%.5f') == Spark
+    format_number for probs <= 1 (no comma grouping below 1000; both
+    round the same IEEE double)."""
+    prob_x = " || ';' || ".join(
+        f"printf('%.5f', {_prob_expr(i)})" for i in range(N_MODELS)
+    )
+    return f"""
+WITH {_scored_cte()}
+SELECT doc_id, gene_id, disease_id, hit_cnt, prob_avg, {prob_x} AS "prob_X"
+FROM scored
+"""
 
 
 def q_edges() -> str:
