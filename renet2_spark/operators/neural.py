@@ -43,6 +43,14 @@ from ..dictionaries import VOCAB_SIZE, WORD_INDEX
 N_MODELS = 10
 MAX_SENTS = 32  # reference abstract-mode snt_n (README.md:216)
 MAX_TOKENS = 54  # reference fix_token_n (predict.py:291-294)
+# per-doc entity remap cap (reference raw.py:1223-1226): entity tokens
+# are replaced by per-doc indices — genes 1..MX in first-occurrence
+# order, diseases MX+1..2*MX; the (MX+1)-th and later entities of a
+# type all collapse onto index MX (the reference's exact overflow
+# behavior, including diseases overflowing onto the gene slot MX).
+# Indices live in a reserved embedding-id range above the vocab.
+MX_ID_N = 20
+ENT_BASE = VOCAB_SIZE  # first reserved embedding row
 EMB_DIM = 8
 FEAT_DIM = 4
 N_FEAT_CODES = 7
@@ -63,7 +71,7 @@ def model_weights(i: int) -> dict[str, np.ndarray]:
         # float32 throughout: halves memory traffic (the forward is
         # bandwidth-bound); results stay deterministic — the pytest
         # NumPy oracle runs the identical kernels
-        "emb_w": f32(rng.randn(VOCAB_SIZE, EMB_DIM) * 0.3),
+        "emb_w": f32(rng.randn(VOCAB_SIZE + 2 * MX_ID_N + 1, EMB_DIM) * 0.3),
         "emb_f": f32(rng.randn(N_FEAT_CODES, FEAT_DIM) * 0.3),
         "conv_w": f32(rng.randn(CONV_K * d_in, CONV_FILTERS) * 0.2),
         "conv_b": f32(rng.randn(CONV_FILTERS) * 0.1),
@@ -159,11 +167,33 @@ FEATURE_TARGET_DISEASE = 4
 FEATURE_TARGET_GENE = 5
 
 
+def entity_remap(sorted_ments: list) -> dict[tuple[str, str], int]:
+    """Per-doc entity index remap with the MX_id_n cap (reference
+    raw.py:1223-1226). `sorted_ments` must be in (sent_no, tok_no)
+    order — the reference enumerates its per-doc gene/disease dicts in
+    sorted annotation order. Genes -> i+1 (i < MX) else MX; diseases ->
+    i+MX+1 (i < MX) else MX."""
+    order: dict[str, list[str]] = {"Gene": [], "Disease": []}
+    for m in sorted_ments:
+        typ = m["type"]
+        if typ not in order:
+            continue
+        if m["entity_id"] not in order[typ]:
+            order[typ].append(m["entity_id"])
+    remap: dict[tuple[str, str], int] = {}
+    for i, eid in enumerate(order["Gene"]):
+        remap[("Gene", eid)] = i + 1 if i < MX_ID_N else MX_ID_N
+    for i, eid in enumerate(order["Disease"]):
+        remap[("Disease", eid)] = i + MX_ID_N + 1 if i < MX_ID_N else MX_ID_N
+    return remap
+
+
 def build_pair_tensors(
     tok_ids: list, ments: list, gene_id: str, disease_id: str
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-pair [S, T] token-id and feature-code matrices (reference
-    sequence_utils.py:325-349 pair-specific recode)."""
+    sequence_utils.py:325-349 pair-specific recode; entity positions'
+    token ids remapped to reserved per-doc indices, raw.py:1223-1226)."""
     S = min(len(tok_ids), MAX_SENTS)
     Tk = min(max((len(s) for s in tok_ids[:S]), default=1), MAX_TOKENS)
     tok = np.zeros((S, Tk), dtype=np.int64)
@@ -173,7 +203,9 @@ def build_pair_tensors(
         tok[si, : len(row)] = row
     if ments is None:
         ments = []
-    for m in ments:
+    sorted_ments = sorted(ments, key=lambda m: (m["sent_no"], m["tok_no"]))
+    remap = entity_remap(sorted_ments)
+    for m in sorted_ments:
         s, t = m["sent_no"], m["tok_no"]
         if s >= S or t >= Tk:
             continue
@@ -190,13 +222,19 @@ def build_pair_tensors(
                 else FEATURE_OTHER_DISEASE
             )
         feat[s, t] = code
+        idx = remap.get((m["type"], m["entity_id"]))
+        if idx is not None:
+            tok[s, t] = ENT_BASE + idx
     return tok, feat
 
 
 def _doc_cache_entry(tok_ids: list, ments) -> tuple:
     """Per-DOC precompute shared by all of the doc's pairs: the token
-    matrix, the base feature matrix (other-gene=2 / other-disease=1
-    everywhere), and per-entity position lists for target flipping."""
+    matrix (entity positions remapped to reserved per-doc indices,
+    raw.py:1223-1226 — ments are sorted by (sent, tok) first so the
+    remap is independent of collect_list order), the base feature
+    matrix (other-gene=2 / other-disease=1 everywhere), and per-entity
+    position lists for target flipping."""
     S = min(len(tok_ids), MAX_SENTS)
     Tk = min(max((len(s) for s in tok_ids[:S]), default=1), MAX_TOKENS)
     tok = np.zeros((S, Tk), dtype=np.int64)
@@ -206,12 +244,19 @@ def _doc_cache_entry(tok_ids: list, ments) -> tuple:
     base = np.zeros((S, Tk), dtype=np.int64)
     pos: dict[tuple[str, str], list[tuple[int, int]]] = {}
     if ments is not None:
-        for m in ments:
+        sorted_ments = sorted(
+            ments, key=lambda m: (m["sent_no"], m["tok_no"])
+        )
+        remap = entity_remap(sorted_ments)
+        for m in sorted_ments:
             s, t = m["sent_no"], m["tok_no"]
             if s >= S or t >= Tk:
                 continue
             typ = m["type"]
             base[s, t] = FEATURE_OTHER_GENE if typ == "Gene" else FEATURE_OTHER_DISEASE
+            idx = remap.get((typ, m["entity_id"]))
+            if idx is not None:
+                tok[s, t] = ENT_BASE + idx
             pos.setdefault((typ, m["entity_id"]), []).append((s, t))
     return tok, base, pos
 
@@ -254,20 +299,25 @@ def score_batch(pdf: pd.DataFrame) -> np.ndarray:
     )  # [B, N]
 
 
-def doc_tensors(sentences: DataFrame, mentions: DataFrame) -> DataFrame:
-    """(doc_id, tok_ids array<array<int>>, ments array<struct>) — one
-    row per doc; built natively (map-literal vocab lookup, zero
-    Python), shared by every pair of the doc."""
+# above this size a create_map literal becomes a pathological Catalyst
+# expression tree (the reference vocab is 82,948 entries,
+# raw_handler.py:30); the broadcast-join path is the default there
+LITERAL_MAP_MAX = 1024
+
+
+def _tok_ids_literal(sentences: DataFrame, vocab: dict[str, int]) -> DataFrame:
+    """(doc_id, tok_ids) via a create_map literal — fastest for small
+    vocabularies (no extra shuffle)."""
     vocab_items = []
-    for k, v in WORD_INDEX.items():
+    for k, v in vocab.items():
         vocab_items += [F.lit(k), F.lit(v)]
-    vocab = F.create_map(*vocab_items)
-    oov = F.lit(WORD_INDEX["[X]"])
+    vmap = F.create_map(*vocab_items)
+    oov = F.lit(vocab["[X]"])
     ids = F.transform(
         F.split(F.col("sentence"), " "),
-        lambda w: F.coalesce(vocab[w], oov).cast("int"),
+        lambda w: F.coalesce(vmap[w], oov).cast("int"),
     )
-    toks = (
+    return (
         sentences.select("doc_id", "sent_no", ids.alias("ids"))
         .groupBy("doc_id")
         .agg(
@@ -277,6 +327,54 @@ def doc_tensors(sentences: DataFrame, mentions: DataFrame) -> DataFrame:
             ).alias("tok_ids")
         )
     )
+
+
+def _tok_ids_join(sentences: DataFrame, vocab: dict[str, int]) -> DataFrame:
+    """(doc_id, tok_ids) via explode + BROADCAST vocab join — the
+    production path for reference-scale vocabularies (82,948 entries):
+    the vocab ships once per executor as a hash relation instead of an
+    82k-branch expression tree. One extra (doc, sent)-keyed shuffle to
+    reassemble token order; both shuffle keys are document-uniform."""
+    spark = sentences.sparkSession
+    vdf = spark.createDataFrame(
+        list(vocab.items()), "token string, tok_id int"
+    )
+    oov = F.lit(vocab["[X]"])
+    toks = sentences.select(
+        "doc_id",
+        "sent_no",
+        F.posexplode(F.split(F.col("sentence"), " ")).alias("tok_no", "token"),
+    )
+    mapped = toks.join(F.broadcast(vdf), "token", "left").select(
+        "doc_id",
+        "sent_no",
+        "tok_no",
+        F.coalesce("tok_id", oov).cast("int").alias("tok_id"),
+    )
+    per_sent = mapped.groupBy("doc_id", "sent_no").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("tok_no", "tok_id"))),
+            lambda s: s["tok_id"],
+        ).alias("ids")
+    )
+    return per_sent.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("sent_no", "ids"))),
+            lambda s: s["ids"],
+        ).alias("tok_ids")
+    )
+
+
+def doc_tensors(sentences: DataFrame, mentions: DataFrame,
+                vocab: dict[str, int] | None = None) -> DataFrame:
+    """(doc_id, tok_ids array<array<int>>, ments array<struct>) — one
+    row per doc, shared by every pair of the doc. Vocab lookup picks
+    the literal-map plan for small vocabularies and the broadcast-join
+    plan above LITERAL_MAP_MAX (round-1 verdict: an 82,948-entry
+    create_map literal is a catastrophic expression tree)."""
+    vocab = WORD_INDEX if vocab is None else vocab
+    builder = _tok_ids_literal if len(vocab) <= LITERAL_MAP_MAX else _tok_ids_join
+    toks = builder(sentences, vocab)
     ments = mentions.groupBy("doc_id").agg(
         F.collect_list(
             F.struct("sent_no", "tok_no", "type", "entity_id")

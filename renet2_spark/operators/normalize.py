@@ -36,18 +36,24 @@ def _map_literal(col: Column, mapping: dict[str, str]) -> Column:
     return out
 
 
-def canonical_gene_id(raw: Column) -> Column:
+def _gene_id_literal(raw: Column, transfer: dict) -> Column:
     g = F.split(raw, ";")[0]
     g = F.regexp_replace(g, r"\(.*\)", "")
-    transfer = {k: "|".join(v) for k, v in GENE_TRANSFER.items()}
-    return _map_literal(g, transfer)
+    return _map_literal(g, {k: "|".join(v) for k, v in transfer.items()})
+
+
+def _disease_id_literal(raw: Column, omim: dict) -> Column:
+    d = F.regexp_replace(raw, r"^MESH:", "")
+    d = _map_literal(d, {f"OMIM:{k}": "|".join(v) for k, v in omim.items()})
+    return F.split(d, ";")[0]
+
+
+def canonical_gene_id(raw: Column) -> Column:
+    return _gene_id_literal(raw, GENE_TRANSFER)
 
 
 def canonical_disease_id(raw: Column) -> Column:
-    d = F.regexp_replace(raw, r"^MESH:", "")
-    omim = {f"OMIM:{k}": "|".join(v) for k, v in OMIM2MESH.items()}
-    d = _map_literal(d, omim)
-    return F.split(d, ";")[0]
+    return _disease_id_literal(raw, OMIM2MESH)
 
 
 def is_valid_mesh(disease_id: Column) -> Column:
@@ -58,15 +64,85 @@ def is_valid_mesh(disease_id: Column) -> Column:
     return disease_id.startswith("D") | valid_c
 
 
-def canonicalize_mentions(mentions: DataFrame) -> DataFrame:
-    """mentions(+raw_id) -> mentions(+entity_id) via native exprs."""
+# above this size a when-chain / create_map literal is a pathological
+# Catalyst expression tree (reference dict_omim2mesh = 4,149 rows,
+# word_index = 82,948); broadcast joins are the default there
+MAP_LITERAL_MAX = 256
+
+
+def canonicalize_mentions(
+    mentions: DataFrame,
+    transfer: dict | None = None,
+    omim: dict | None = None,
+    valid_c: set | None = None,
+) -> DataFrame:
+    """mentions(+raw_id) -> mentions(+entity_id). Picks the literal
+    when-chain plan for small maps and broadcast joins above
+    MAP_LITERAL_MAX (round-1 verdict #5: literal maps don't survive
+    real dictionary sizes)."""
+    transfer = GENE_TRANSFER if transfer is None else transfer
+    omim = OMIM2MESH if omim is None else omim
+    valid_c = MESH_C2D_VALID if valid_c is None else valid_c
+    if max(len(transfer), len(omim), len(valid_c)) > MAP_LITERAL_MAX:
+        return canonicalize_mentions_by_join(mentions, transfer, omim, valid_c)
     eid = F.when(
-        F.col("type") == "Gene", canonical_gene_id(F.col("raw_id"))
-    ).otherwise(canonical_disease_id(F.col("raw_id")))
+        F.col("type") == "Gene", _gene_id_literal(F.col("raw_id"), transfer)
+    ).otherwise(_disease_id_literal(F.col("raw_id"), omim))
     out = mentions.withColumn("entity_id", eid)
-    return out.filter(
-        (F.col("type") == "Gene") | is_valid_mesh(F.col("entity_id"))
+    valid = F.col("entity_id").startswith("D")
+    for c in valid_c:
+        valid = valid | (F.col("entity_id") == c)
+    return out.filter((F.col("type") == "Gene") | valid)
+
+
+def canonicalize_mentions_by_join(
+    mentions: DataFrame, transfer: dict, omim: dict, valid_c: set
+) -> DataFrame:
+    """Broadcast-join canonicalization — identical semantics to the
+    literal path, but the maps ship as executor-side hash relations
+    (O(MB) broadcast) instead of expression trees. The string surgery
+    stays native Catalyst; three broadcast left joins on derived keys
+    (null key for the other type -> no match -> passthrough)."""
+    spark = mentions.sparkSession
+    tdf = spark.createDataFrame(
+        [(k, "|".join(v)) for k, v in transfer.items()] or [("", "")],
+        "_tk string, _tv string",
     )
+    odf = spark.createDataFrame(
+        [(f"OMIM:{k}", "|".join(v)) for k, v in omim.items()] or [("", "")],
+        "_ok string, _ov string",
+    )
+    cdf = spark.createDataFrame(
+        [(c,) for c in sorted(valid_c)] or [("",)], "_ck string"
+    )
+    g0 = F.regexp_replace(F.split(F.col("raw_id"), ";")[0], r"\(.*\)", "")
+    d0 = F.regexp_replace(F.col("raw_id"), r"^MESH:", "")
+    keyed = mentions.withColumn(
+        "_gk", F.when(F.col("type") == "Gene", g0)
+    ).withColumn("_dk", F.when(F.col("type") != "Gene", d0))
+    out = (
+        keyed.join(F.broadcast(tdf), keyed._gk == tdf._tk, "left")
+        .join(F.broadcast(odf), keyed._dk == odf._ok, "left")
+        .withColumn(
+            "entity_id",
+            F.when(
+                F.col("type") == "Gene", F.coalesce("_tv", "_gk")
+            ).otherwise(F.split(F.coalesce("_ov", "_dk"), ";")[0]),
+        )
+        .drop("_gk", "_dk", "_tk", "_tv", "_ok", "_ov")
+    )
+    validated = (
+        out.join(
+            F.broadcast(cdf), out.entity_id == cdf._ck, "left"
+        )
+        .filter(
+            (F.col("type") == "Gene")
+            | F.col("entity_id").startswith("D")
+            | F.col("_ck").isNotNull()
+        )
+        .drop("_ck")
+    )
+    return validated
 
 
 def canonicalize_mentions_join(

@@ -127,3 +127,64 @@ def test_ensemble_members_differ():
     probs = score_batch(pdf)[0]
     assert probs.shape == (N_MODELS,)
     assert len(set(np.round(probs, 6))) > 5
+
+
+def test_entity_remap_mx_cap():
+    """MX_id_n=20 per-doc entity remap (reference raw.py:1223-1226):
+    genes 1..20 in first-occurrence order, 21st+ gene -> 20; diseases
+    21..40, 21st+ disease -> 20 (the reference's exact overflow)."""
+    from renet2_spark.operators.neural import MX_ID_N, entity_remap
+
+    ments = [
+        {"sent_no": 0, "tok_no": t, "type": "Gene", "entity_id": f"g{t}"}
+        for t in range(25)
+    ] + [
+        {"sent_no": 1, "tok_no": t, "type": "Disease", "entity_id": f"d{t}"}
+        for t in range(25)
+    ]
+    remap = entity_remap(ments)
+    assert remap[("Gene", "g0")] == 1
+    assert remap[("Gene", "g19")] == 20
+    assert remap[("Gene", "g20")] == MX_ID_N  # overflow -> 20
+    assert remap[("Gene", "g24")] == MX_ID_N
+    assert remap[("Disease", "d0")] == MX_ID_N + 1
+    assert remap[("Disease", "d19")] == 2 * MX_ID_N
+    assert remap[("Disease", "d24")] == MX_ID_N  # reference overflow quirk
+
+
+def test_entity_remap_applied_in_tensors():
+    """Entity positions' token ids move into the reserved range and are
+    insensitive to ments ordering (remap sorts by (sent, tok))."""
+    from renet2_spark.operators.neural import ENT_BASE, build_pair_tensors
+
+    ments = [
+        {"sent_no": 0, "tok_no": 1, "type": "Disease", "entity_id": "D1"},
+        {"sent_no": 0, "tok_no": 0, "type": "Gene", "entity_id": "g1"},
+    ]
+    tok, feat = build_pair_tensors([[5, 6, 7]], ments, "g1", "D1")
+    assert tok[0, 0] == ENT_BASE + 1       # first gene -> index 1
+    assert tok[0, 1] == ENT_BASE + 21      # first disease -> MX+1
+    assert tok[0, 2] == 7                  # plain token untouched
+    tok2, _ = build_pair_tensors([[5, 6, 7]], list(reversed(ments)), "g1", "D1")
+    assert (tok == tok2).all()
+
+
+def test_doc_tensors_vocab_join_path(spark):
+    """Above LITERAL_MAP_MAX the vocab lookup must switch to the
+    broadcast-join plan and produce identical tok_ids."""
+    from renet2_spark.dictionaries import WORD_INDEX
+    from renet2_spark.operators.neural import _tok_ids_join, _tok_ids_literal
+
+    sents = spark.createDataFrame(
+        [("1", 0, "scan the slow table"), ("1", 1, "join big data"),
+         ("2", 0, "unknownword scan")],
+        "doc_id string, sent_no int, sentence string",
+    )
+    lit = {r["doc_id"]: r["tok_ids"]
+           for r in _tok_ids_literal(sents, WORD_INDEX).collect()}
+    join = {r["doc_id"]: r["tok_ids"]
+            for r in _tok_ids_join(sents, WORD_INDEX).collect()}
+    assert lit == join
+    plan = _tok_ids_join(sents, WORD_INDEX)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
