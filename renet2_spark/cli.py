@@ -55,13 +55,20 @@ def cmd_predict(args) -> int:
 
 
 def cmd_parse_data(args) -> int:
-    """BioC-JSON lines -> interleaved span corpus (reference
-    `renet2 parse_data`)."""
-    from .sources.bioc import parse_bioc
-
+    """BioC-JSON lines or PubTator abstract format -> interleaved span
+    corpus (reference `renet2 parse_data`; abstract-format S3 parser
+    parse_data.py:43-67 also writes the annotation table)."""
     spark = _spark(args)
-    raw = spark.read.text(args.input).withColumnRenamed("value", "doc_json")
-    spans = parse_bioc(raw)
+    if args.input_format == "pubtator":
+        from .sources.pubtator import read_pubtator
+
+        spans, anns = read_pubtator(spark, args.input)
+        anns.write.mode("overwrite").parquet(args.output + "_anns")
+    else:
+        from .sources.bioc import parse_bioc
+
+        raw = spark.read.text(args.input).withColumnRenamed("value", "doc_json")
+        spans = parse_bioc(raw)
     spans.write.mode("overwrite").parquet(args.output)
     print(f"parsed {spans.count()} documents to {args.output}")
     return 0
@@ -112,9 +119,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="vote cutoff 1 instead of N//2 (predict.py:122-124)")
     sp.set_defaults(fn=cmd_predict)
 
-    sp = sub.add_parser("parse_data", help="BioC-JSON lines -> span corpus")
+    sp = sub.add_parser(
+        "parse_data", help="BioC-JSON lines or PubTator text -> span corpus"
+    )
     sp.add_argument("--input", required=True)
     sp.add_argument("--output", required=True)
+    sp.add_argument("--input-format", choices=["bioc", "pubtator"],
+                    default="bioc", dest="input_format")
     sp.set_defaults(fn=cmd_parse_data)
 
     sp = sub.add_parser("normalize_ann", help="canonicalize + unify mention ids")

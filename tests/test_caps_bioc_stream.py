@@ -178,3 +178,54 @@ def test_table_sink_fallback(spark):
     assert fmt == ("iceberg" if iceberg_available(spark) else "parquet")
     back = read_table(spark, path)
     assert {tuple(r) for r in back.select("id", "v").collect()} == {(1, "a"), (2, "b")}
+
+
+# ---- PubTator abstract-format parser (S3) ---------------------------------
+
+
+def test_pubtator_parser(spark, tmp_path):
+    """read_abs_offset_f semantics (reference parse_data.py:43-67):
+    pmid|t|/pmid|a| lines + 6-field TSV anns; short abstract -> '$$$';
+    non-Gene/Disease anns dropped; offsets doc-level."""
+    from renet2_spark.sources.pubtator import read_pubtator
+
+    f = tmp_path / "abs.txt"
+    f.write_text(
+        "101|t|BRCA1 in breast cancer\n"
+        "101|a|The BRCA1 gene associates with breast cancer.\n"
+        "101\t0\t5\tBRCA1\tGene\t672\n"
+        "101\t32\t45\tbreast cancer\tDisease\tMESH:D001943\n"
+        "101\t10\t16\thuman\tSpecies\t9606\n"
+        "\n"
+        "102|t|Short abstract doc\n"
+        "102|a|x\n"
+        "102\t0\t5\tShort\tGene\t1\n"
+    )
+    docs, anns = read_pubtator(spark, str(f))
+    d = {r["doc_id"]: r["spans"] for r in docs.collect()}
+    assert d["101"][0]["kind"] == "title"
+    assert d["101"][0]["text"] == "BRCA1 in breast cancer"
+    assert d["101"][1]["kind"] == "abstract"
+    assert d["101"][1]["offset"] == len("BRCA1 in breast cancer") + 1
+    assert d["102"][1]["text"] == "$$$"  # <3 chars -> sentinel
+    a = {(r["doc_id"], r["mention"]): r for r in anns.collect()}
+    assert set(a) == {("101", "BRCA1"), ("101", "breast cancer"),
+                      ("102", "Short")}  # Species dropped
+    assert a[("101", "breast cancer")]["raw_id"] == "MESH:D001943"
+    assert a[("101", "breast cancer")]["start"] == 32
+
+
+def test_pubtator_composes_with_canonicalize(spark, tmp_path):
+    from renet2_spark.operators.normalize import canonicalize_mentions
+    from renet2_spark.sources.pubtator import read_pubtator
+
+    f = tmp_path / "abs.txt"
+    f.write_text(
+        "7|t|t gene doc\n7|a|abstract text here\n"
+        "7\t0\t1\tg\tGene\t2008(tax:10090);9999\n"
+        "7\t2\t6\td\tDisease\tOMIM:600100\n"
+    )
+    _docs, anns = read_pubtator(spark, str(f))
+    got = {r["mention"]: r["entity_id"]
+           for r in canonicalize_mentions(anns).collect()}
+    assert got == {"g": "1008", "d": "D0004"}
