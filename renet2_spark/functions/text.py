@@ -1,23 +1,32 @@
 """Raw-text scalar functions: tokenizer + sentence splitter.
 
-Re-expressions (NOT ports) of the reference's text preprocessing:
+Reference-parity re-expressions (NOT ports) of the reference's text
+preprocessing:
 
-* :func:`tokenize_text` — rule-based biomedical tokenizer with the
-  same rule *classes* as the reference's ~50 ordered replace rules
-  (src/renet2/utils/tokenizer.py:16-110): punctuation spacing,
-  English clitic splitting ('s, n't, 're, ...), sentence-final
-  period splitting that protects abbreviations and decimals.
-* :func:`split_sentences` — sentence splitter with bracket balancing
-  and abbreviation protection (reference src/renet2/raw.py:399-586
-  `snt_split`/`sentence_split`/`refine_snt`; production reference
-  path shells out to the GENIA C++/Ruby splitter,
-  src/renet2/parse_data.py:456-467 — replaced here by a
-  deterministic pure function that doubles as the test oracle).
+* :func:`tokenize_text` / :func:`tokenize_series` — the reference's
+  rule-based tokenizer (src/renet2/utils/tokenizer.py:16-110
+  `tokenize`, the variant raw.py imports) re-expressed as an ORDERED
+  regex rule table: quote normalization, ellipsis, punctuation
+  spacing, the stateful final-period scan (as a single anchored
+  regex), bracket spacing, clitic splitting ('s/n't/... incl. case
+  variants), and the word expansions (cannot -> can not, gonna ->
+  gon na, ... including the reference's "wanna -> wanna" no-op).
+  Token-sequence equality with the reference is pinned by frozen
+  vectors in tests/test_ref_parity.py. The Series variant applies the
+  SAME table via pd.Series.str.replace — a vectorized chain, no
+  per-row python function in the tokenize path.
 
-Both are pure python string functions applied via vectorized pandas
-UDFs (Arrow batches) — the synthetic corpus doesn't need them (it is
-pre-tokenized word salad), but raw-text ingest does, and unit tests
-pin their semantics.
+* :func:`split_sentences` — the reference's `snt_split`
+  (src/renet2/raw.py:437-545) re-expressed: bracket-balance gating
+  (disabled when the text's brackets are unbalanced), '!?'+space
+  cuts, '.;' cuts with the abbreviation set (' vs', 'i.e', 's.c',
+  'e.g', ' al', ' Dr' / ' ref', 'e. g', ' viz'), uppercase/lowercase
+  lookahead scans, the digit+unit continuation scan, and the
+  trailing-')]' scan. Sentences keep the reference's exact substrings
+  (including leading spaces). A character-scan automaton is inherently
+  sequential, so this stays a per-string function behind an
+  Arrow-batched UDF (the reference itself shells out to the GENIA C++
+  splitter in production, src/renet2/parse_data.py:456-467).
 """
 
 from __future__ import annotations
@@ -29,96 +38,205 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# clitics split off as separate tokens (reference tokenizer.py rule
-# class: "'s" / "n't" / "'re" etc. get surrounding spaces)
-_CLITICS = ("'s", "n't", "'re", "'ve", "'ll", "'d", "'m")
 
-# punctuation always split into its own token
-_PUNCT = r"()[]{}<>,;:!?\"/\\|@#$%^&*=+~"
+def _lit(s: str, repl: str) -> tuple[str, str]:
+    return re.escape(s), repl
 
-# abbreviations whose trailing period does NOT end a sentence
-# (reference raw.py:437-545 protects ' vs', 'i.e', 'e.g', ' al',
-# ' Dr', ' ref', ' viz')
-_ABBREV = ("vs", "i.e", "e.g", "al", "Dr", "ref", "viz", "Fig", "cf")
+
+# ---- tokenizer rule table (reference utils/tokenizer.py:16-110) ----------
+# Applied IN ORDER via re.sub; literal str.replace and re.sub with an
+# escaped pattern scan identically (left-to-right, non-overlapping,
+# replacements never rescanned), so the chain is rule-for-rule
+# equivalent to the reference's replace sequence.
+
+# the final-period scan (tokenizer.py:37-49): from the end skip
+# spaces, then closing brackets/quotes (NOT '('/'{'/'<'); if the char
+# there is a '.' not preceded by another '.', split it off. The tail
+# after the '.' is therefore exactly: closers*, spaces*, end.
+_FINAL_PERIOD = (r"(?<!\.)\.([\[\]\)\}>\"']*)( *)$", r" .\1\2")
+
+_RULES_PRE: list[tuple[str, str]] = [
+    (r'^"', '" '),
+    _lit(' "', '  " '),
+    _lit('("', '( " '),
+    _lit('["', '[ " '),
+    _lit('{"', '{ " '),
+    _lit('<"', '< " '),
+    _lit("...", " ... "),
+    _lit(",", " , "),
+    _lit(";", " ; "),
+    _lit(":", " : "),
+    _lit("@", " @ "),
+    _lit("#", " # "),
+    _lit("$", " $ "),
+    _lit("%", " % "),
+    _lit("&", " & "),
+    _FINAL_PERIOD,
+    _lit("?", " ? "),
+    _lit("!", " ! "),
+    _lit("[", " [ "),
+    _lit("]", " ] "),
+    _lit("(", " ( "),
+    _lit(")", " ) "),
+    _lit("{", " { "),
+    _lit("}", " } "),
+    _lit("<", " < "),
+    _lit(">", " > "),
+    _lit("--", " -- "),
+]
+
+# after padding with one space on both ends (tokenizer.py:66-67)
+_RULES_POST: list[tuple[str, str]] = [
+    _lit('"', ' " '),
+    # replace("' ", " ' ", skip="'") — skip when preceded by a quote
+    (r"(?<!')' ", " ' "),
+    _lit("'s ", " 's "),
+    _lit("'S ", " 'S "),
+    _lit("'m ", " 'm "),
+    _lit("'M ", " 'M "),
+    _lit("'d ", " 'd "),
+    _lit("'D ", " 'D "),
+    _lit("'ll ", " 'll "),
+    _lit("'re ", " 're "),
+    _lit("'ve ", " 've "),
+    _lit("n't ", " n't "),
+    _lit("'LL ", " 'LL "),
+    _lit("'RE ", " 'RE "),
+    _lit("'VE ", " 'VE "),
+    _lit("N'T ", " N'T "),
+    _lit(" Cannot ", " Can not "),
+    _lit(" cannot ", " can not "),
+    _lit(" D'ye ", " D' ye "),
+    _lit(" d'ye ", " d' ye "),
+    _lit(" Gimme ", " Gim me "),
+    _lit(" gimme ", " gim me "),
+    _lit(" Gonna ", " Gon na "),
+    _lit(" gonna ", " gon na "),
+    _lit(" Gotta ", " Got ta "),
+    _lit(" gotta ", " got ta "),
+    _lit(" Lemme ", " Lem me "),
+    _lit(" lemme ", " lem me "),
+    _lit(" More'n ", " More 'n "),
+    _lit(" more'n ", " more 'n "),
+    _lit("'Tis ", " 'T is "),
+    _lit("'tis ", " 't is "),
+    _lit("'Twas ", " 'T was "),
+    _lit("'twas ", " 't was "),
+    _lit(" Wanna ", " Wan na "),
+    _lit(" wanna ", " wanna "),  # the reference's exact no-op, kept
+]
+
+_COMPILED_PRE = [(re.compile(p), r) for p, r in _RULES_PRE]
+_COMPILED_POST = [(re.compile(p), r) for p, r in _RULES_POST]
 
 
 def tokenize_text(text: str) -> list[str]:
-    """Deterministic rule tokenizer.
-
-    Rules, in order (mirroring the reference's rule classes):
-    1. isolate punctuation chars in _PUNCT
-    2. split clitics into separate tokens
-    3. split a final '.' off a token unless the remainder is an
-       abbreviation or the token is a decimal number
-    4. whitespace-split
-    """
+    """Reference-parity tokenizer (single string)."""
+    if not text:
+        return []
     s = text
-    for ch in _PUNCT:
-        s = s.replace(ch, f" {ch} ")
-    for cl in _CLITICS:
-        s = re.sub(f"(?i)(?<=\\w)({re.escape(cl)})(?=\\s|$)", r" \1", s)
-    out: list[str] = []
-    for tok in s.split():
-        dots = 0
-        while tok.endswith(".") and len(tok) > 1 and tok[:-1] not in _ABBREV:
-            tok = tok[:-1]
-            dots += 1
-        out.append(tok)
-        out.extend(["."] * dots)
-    return [t for t in out if t]
+    for pat, repl in _COMPILED_PRE:
+        s = pat.sub(repl, s)
+    s = " " + s + " "
+    for pat, repl in _COMPILED_POST:
+        s = pat.sub(repl, s)
+    return s.strip().split()
+
+
+def tokenize_series(texts: pd.Series) -> pd.Series:
+    """Vectorized tokenizer: the SAME rule table applied as a
+    pd.Series.str.replace chain (no per-row python function)."""
+    s = texts.fillna("")
+    for pat, repl in _COMPILED_PRE:
+        s = s.str.replace(pat, repl, regex=True)
+    s = " " + s + " "
+    for pat, repl in _COMPILED_POST:
+        s = s.str.replace(pat, repl, regex=True)
+    return s.str.strip().str.split()
+
+
+# ---- sentence splitter (reference raw.py:437-545 snt_split) ---------------
+
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LEAD = "({[" + _UPPER + '-"' + "'"
+_ABBR3 = (" vs", "i.e", "s.c", "e.g", " al", " Dr")
+_ABBR4 = (" ref", "e. g", " viz")
 
 
 def split_sentences(text: str) -> list[str]:
-    """Sentence splitter with bracket balancing + abbreviation rules.
-
-    A '.', '!' or '?' ends a sentence iff (a) all brackets opened so
-    far are closed, (b) the token before it is not a protected
-    abbreviation, (c) the next non-space char starts a new sentence
-    (uppercase letter or digit) or the text ends.
-    """
-    sents: list[str] = []
-    buf: list[str] = []
-    depth = 0
-    i, n = 0, len(text)
-    while i < n:
-        c = text[i]
-        buf.append(c)
-        if c in "([{":
-            depth += 1
-        elif c in ")]}":
-            depth = max(0, depth - 1)
-        elif c in ".!?" and depth == 0:
-            # look back for abbreviation
-            j = i - 1
-            word = []
-            while j >= 0 and (text[j].isalnum() or text[j] == "."):
-                word.append(text[j])
-                j -= 1
-            prev = "".join(reversed(word))
-            protected = c == "." and (
-                prev in _ABBREV
-                or prev.rstrip(".") in _ABBREV
-                or re.fullmatch(r"\d+(\.\d+)*", prev + ".") is not None
-            )
-            # next non-space char
-            k = i + 1
-            while k < n and text[k] == " ":
-                k += 1
-            ends = (not protected) and (
-                k >= n
-                or (k > i + 1 and (text[k].isupper() or text[k].isdigit()))
-            )
-            if ends:
-                s = "".join(buf).strip()
-                if s:
-                    sents.append(s)
-                buf = []
-                i = k - 1
-        i += 1
-    tail = "".join(buf).strip()
-    if tail:
-        sents.append(tail)
-    return sents
+    """Reference-parity sentence splitter (snt_split semantics).
+    Returns the reference's exact substrings — no trimming."""
+    n = len(text)
+    snts: list[str] = []
+    prv = 0
+    hold = 0
+    balanced = sum(c in "[({" for c in text) == sum(c in "}])" for c in text)
+    for i, ch in enumerate(text):
+        if i >= n - 2:
+            break
+        if balanced:
+            if ch in "[({":
+                hold += 1
+            if hold and ch in "])}":
+                hold -= 1
+            if hold:
+                continue
+        cut = False
+        if ch in "!?" and text[i + 1] == " ":
+            cut = True
+        elif ch in ".;":
+            protected = False
+            if text[i + 1] == " ":
+                if i > 3 and text[i - 3 : i] in _ABBR3:
+                    protected = True
+                elif i > 4 and text[i - 4 : i] in _ABBR4:
+                    protected = True
+                if not protected and ch == ".":
+                    nxt = text[i + 2]
+                    if nxt in _LEAD:
+                        cut = True
+                    else:
+                        if "a" <= nxt <= "z":
+                            j = i + 2
+                            while j < n:
+                                c = text[j]
+                                if c in "0123456789({[" + _UPPER + '-"' + "'":
+                                    cut = True
+                                    break
+                                if c == " ":
+                                    break
+                                j += 1
+                        if not cut and "0" <= nxt <= "9":
+                            j = i + 2
+                            while j < n:
+                                c = text[j]
+                                if c in _UPPER + "|-/":
+                                    cut = True
+                                    break
+                                if c == " ":
+                                    break
+                                j += 1
+            elif i > 2 and "a" <= text[i - 1] <= "z":
+                j = i + 1
+                while j < n and text[j] in "0123456789-/()[]{}":
+                    j += 1
+                if j + 1 < n and text[j] == " " and text[j + 1] in _UPPER:
+                    cut = True
+            if not protected and not cut:
+                j = i + 2
+                while j < n:
+                    c = text[j]
+                    if c in ")]":
+                        cut = True
+                        break
+                    if c not in " 0123456789([":
+                        break
+                    j += 1
+        if cut:
+            snts.append(text[prv : i + 1])
+            prv = i + 1
+    snts.append(text[prv:])
+    return snts
 
 
 _TOK_UDF_SCHEMA = T.ArrayType(T.StringType())
@@ -127,7 +245,7 @@ _TOK_UDF_SCHEMA = T.ArrayType(T.StringType())
 def tokenize_udf(col: str = "text"):
     @F.pandas_udf(_TOK_UDF_SCHEMA)
     def _tok(s: pd.Series) -> pd.Series:
-        return s.map(tokenize_text)
+        return tokenize_series(s)
 
     return _tok(F.col(col))
 
@@ -135,6 +253,7 @@ def tokenize_udf(col: str = "text"):
 def split_sentences_udf(col: str = "text"):
     @F.pandas_udf(_TOK_UDF_SCHEMA)
     def _split(s: pd.Series) -> pd.Series:
+        # per-string automaton (see module docstring) — Arrow-batched
         return s.map(split_sentences)
 
     return _split(F.col(col))

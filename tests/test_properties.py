@@ -37,8 +37,9 @@ def test_splitter_reconstructs_content(sentences):
                         if len(s) > 1 else s[0].capitalize() + "."
                         for s in sentences)
     got = split_sentences(rendered)
-    # content is preserved: joining the split equals the input
-    assert " ".join(got) == rendered
+    # snt_split PARTITIONS the text exactly (reference keeps leading
+    # spaces): concatenating the pieces reproduces the input verbatim
+    assert "".join(got) == rendered
     # and every emitted sentence ends with the terminator
     assert all(g.endswith(".") for g in got)
 

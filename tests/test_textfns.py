@@ -5,6 +5,8 @@ from renet2_spark.functions.text import split_sentences, tokenize_text
 
 
 def test_tokenizer_punctuation_and_clitics():
+    # reference rule semantics: mid-text periods stay attached; only
+    # the FINAL period is split (tokenizer.py:37-49)
     assert tokenize_text("TP53 (p53), a tumor suppressor") == [
         "TP53", "(", "p53", ")", ",", "a", "tumor", "suppressor",
     ]
@@ -15,15 +17,20 @@ def test_tokenizer_punctuation_and_clitics():
 
 def test_tokenizer_final_period_rules():
     assert tokenize_text("found in mice.") == ["found", "in", "mice", "."]
-    # abbreviation periods survive
+    # only the final '.' splits; abbreviation/mid-text periods survive
     assert tokenize_text("e.g. mice") == ["e.g.", "mice"]
-    # decimals survive
     assert tokenize_text("p = 0.05.") == ["p", "=", "0.05", "."]
+    # final '.' behind closing brackets/quotes still splits
+    assert tokenize_text('done (fig. 2a.)') == [
+        "done", "(", "fig.", "2a", ".", ")",
+    ]
 
 
 def test_sentence_splitter_basic():
+    # reference snt_split keeps the exact substrings incl. the leading
+    # space of continuation sentences (raw.py:437-545)
     assert split_sentences("First sentence. Second one. Third.") == [
-        "First sentence.", "Second one.", "Third.",
+        "First sentence.", " Second one.", " Third.",
     ]
 
 
@@ -32,14 +39,16 @@ def test_sentence_splitter_abbreviations_and_brackets():
     # periods inside brackets and after abbreviations do not split
     assert split_sentences(s) == [
         "Results (see Fig. 2a. for details) hold.",
-        "Dr. Smith agreed.",
+        " Dr. Smith agreed.",
     ]
 
 
 def test_sentence_splitter_decimal_and_lowercase_continuation():
     s = "We used 3.5 mg. of compound X. It worked."
-    # '3.5' protected; 'mg.' followed by lowercase 'of' -> no split
-    assert split_sentences(s) == ["We used 3.5 mg. of compound X.", "It worked."]
+    # '3.5' digit rule; 'mg.' followed by lowercase 'of' -> no split
+    assert split_sentences(s) == [
+        "We used 3.5 mg. of compound X.", " It worked.",
+    ]
 
 
 def test_splitter_udf_roundtrip(spark):
@@ -52,7 +61,7 @@ def test_splitter_udf_roundtrip(spark):
     rows = sentences_from_raw_text(df).collect()
     got = {(r["doc_id"], r["sent_no"]): r["sentence"] for r in rows}
     assert got[("1", 0)] == "Alpha beta."
-    assert got[("2", 2)] == "Three."
+    assert got[("2", 2)] == " Three."
 
 
 # ---- annotation cleaning -------------------------------------------------
