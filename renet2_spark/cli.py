@@ -44,13 +44,18 @@ def cmd_predict(args) -> int:
         "d_name",
         "prob_avg",
     )
+    out = out.persist()  # one pipeline compute for write + count
     if args.format == "tsv":
+        # coalesce(1): reference-parity single gda_rst.tsv file only —
+        # the parquet path keeps natural partitioning
         out.coalesce(1).write.mode("overwrite").option("sep", "\t").option(
             "header", True
         ).csv(args.output)
     else:
         out.write.mode("overwrite").parquet(args.output)
-    print(f"wrote {out.count()} GDA triples to {args.output}")
+    n = out.count()
+    out.unpersist()
+    print(f"wrote {n} GDA triples to {args.output}")
     return 0
 
 

@@ -34,7 +34,10 @@ NGRAM = 5
 JACCARD_THRESHOLD = 0.7
 MINHASH_K = 12
 LSH_BANDS = 4  # r = K/BANDS = 3 rows per band
-SIMHASH_BITS = 16
+# 64-bit signatures: 16 bits collide heavily at corpus scale (round-1
+# verdict); bit j reads bit (3 - j//32) of hex digit (j % 32) of
+# md5(token) — mirrored exactly in the DuckDB oracle
+SIMHASH_BITS = 64
 # default document-frequency cap on inverted-index shingles: a shingle
 # seen in more docs cannot discriminate near-dups and would make the
 # self-join quadratic on that key. Mirrored in the DuckDB oracle
@@ -233,14 +236,16 @@ def dedup_minhash_lsh(
 
 def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash) — per-bit sign of sum over DISTINCT tokens of
-    (+1 if the token-hash nibble bit is set else -1); bit j read from
-    hex digit j of md5(token). Row-local after a distinct-token agg."""
+    (+1 if the selected md5 bit is set else -1); bit j reads bit
+    (3 - j//32) of hex digit (j % 32). Row-local after a distinct-token
+    agg — one narrow pass, no shuffle."""
     toks = F.array_distinct(F.split(F.col("text"), " "))
 
     def bit(tok, j):
-        digit = F.substring(F.md5(tok), j + 1, 1)
-        val = F.instr(F.lit("0123456789abcdef"), digit) - 1
-        return F.when(val >= 8, F.lit(1)).otherwise(F.lit(-1))
+        digit = F.substring(F.md5(tok), (j % 32) + 1, 1)
+        val = (F.instr(F.lit("0123456789abcdef"), digit) - 1).cast("int")
+        b = F.shiftright(val, 3 - j // 32).bitwiseAND(F.lit(1))
+        return F.when(b == 1, F.lit(1)).otherwise(F.lit(-1))
 
     def bit_sum(j):
         return F.aggregate(toks, F.lit(0), lambda a, t: a + bit(t, j))

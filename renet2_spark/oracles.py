@@ -561,18 +561,21 @@ WHERE j.jaccard >= {threshold}
 """
 
 
-def _simhash_expr(bits: int = 16) -> str:
+def _simhash_expr(bits: int = 64) -> str:
+    # bit j = bit (3 - j//32) of hex digit (j % 32) of md5(token) —
+    # mirrors dedup.simhash exactly
     parts = []
     for j in range(bits):
-        bit = (
-            f"(CASE WHEN strpos('0123456789abcdef', "
-            f"substr(md5(token), {j + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END)"
+        d = (
+            f"(strpos('0123456789abcdef', "
+            f"substr(md5(token), {(j % 32) + 1}, 1)) - 1)"
         )
+        bit = f"(CASE WHEN ({d} >> {3 - j // 32}) & 1 = 1 THEN 1 ELSE -1 END)"
         parts.append(f"(CASE WHEN sum({bit}) >= 0 THEN '1' ELSE '0' END)")
     return " || ".join(parts)
 
 
-def q_simhash(bits: int = 16) -> str:
+def q_simhash(bits: int = 64) -> str:
     return f"""
 WITH dtok AS (
   SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, unnest(ws) AS token
@@ -584,7 +587,7 @@ FROM dtok GROUP BY doc_id
 """
 
 
-def q_dedup_simhash(bits: int = 16) -> str:
+def q_dedup_simhash(bits: int = 64) -> str:
     return f"""
 WITH dtok AS (
   SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, unnest(ws) AS token
