@@ -63,16 +63,31 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     )
 
 
-def doc_shingles(documents: DataFrame, n: int = NGRAM) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams. Narrow explode."""
+def _shingle_arr(n: int = NGRAM):
+    """Row-local distinct word n-gram array expression."""
     words = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    shingles = F.array_distinct(
+    return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
     )
+
+
+def doc_shingles(documents: DataFrame, n: int = NGRAM) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams. Narrow explode."""
     return documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        F.explode(shingles).alias("shingle"),
+        F.explode(_shingle_arr(n)).alias("shingle"),
+    )
+
+
+def doc_shingle_counts(documents: DataFrame, n: int = NGRAM) -> DataFrame:
+    """(doc_id, n_sh) — per-doc distinct shingle counts, computed
+    ROW-LOCALLY (size of the shingle array): no explode, no shuffle.
+    Replaces the groupBy(doc_id) over exploded shingle strings, which
+    shuffled every shingle once just to count them."""
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.size(_shingle_arr(n)).cast("int").alias("n_sh"),
     )
 
 
@@ -109,14 +124,16 @@ def dedup_ngram_jaccard(
     exclusively stop-shingles, never over-counted. The DuckDB oracle
     applies the identical cap."""
     sh = doc_shingles(documents, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_sh"))
+    sizes = doc_shingle_counts(documents, n)
     if max_shingle_docs is not None:
+        # the DROPPED set (df > cap) is tiny by construction (its size
+        # is bounded by total_shingle_rows / cap), so it broadcasts and
+        # the cap applies MAP-SIDE via anti-join — no extra shuffle of
+        # the inverted index (a semi-join against the kept set would
+        # re-shuffle every shingle row; measured 2x slower at sf0.1)
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        sh = sh.join(
-            freq.filter(F.col("df") <= max_shingle_docs).select("shingle"),
-            "shingle",
-            "left_semi",
-        )
+        dropped = freq.filter(F.col("df") > max_shingle_docs).select("shingle")
+        sh = sh.join(F.broadcast(dropped), "shingle", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -205,7 +222,8 @@ def dedup_minhash_lsh(
         .distinct()
     )
     sh_c = sh.join(cand_docs, "doc_id", "left_semi")
-    sizes = sh_c.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_sh"))
+    # set sizes row-locally (no explode/shuffle), candidate docs only
+    sizes = doc_shingle_counts(documents).join(cand_docs, "doc_id", "left_semi")
     # intersection per candidate pair: fan doc_a's shingles onto the
     # pair, then probe doc_b's shingles on the composite (doc_b,
     # shingle) key — work is O(|cand| * shingles_per_doc)
