@@ -151,6 +151,148 @@ def run_flagship_once(sf_dir: str, cpus: str) -> dict:
     }
 
 
+def run_stage_profile(sf_dir: str, cpus: str) -> dict:
+    """Flagship run with the Spark event log enabled; returns per-stage
+    wall seconds, executor task-time, and shuffle/input bytes parsed
+    from SparkListenerStageCompleted events. Decomposes the N-vs-4N
+    gap stage by stage (round-1 verdict asked for exactly this)."""
+    import glob
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from renet2_spark.plans.pipeline import build_edges
+    from renet2_spark.session import get_spark
+
+    rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "64"))
+    evdir = tempfile.mkdtemp(prefix=f"ev{cpus}_", dir="/dev/shm")
+    os.makedirs("/dev/shm/spark-local", exist_ok=True)
+    spark = get_spark(
+        app_name=f"renet2_stageprof_{cpus}",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.local.dir": "/dev/shm/spark-local",
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{evdir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        },
+    )
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (
+        base.repartition(4 * int(cpus))
+        .select(F.explode(F.sequence(F.lit(0), F.lit(rep - 1))).alias("r"), "*")
+        .select(
+            (F.col("doc_id") + F.lit(1_000_000) * F.col("r")).alias("doc_id"),
+            "text",
+        )
+    )
+    from renet2_spark.sources.checkpoint import CheckpointStore
+
+    n_docs = docs.count()
+    # warm lap (JIT) then the measured lap; stages of both are logged —
+    # keep only stages submitted after t_mark. Same job as
+    # run_flagship_once (incl. the lineage-tracked mentions stage).
+    build_edges(spark, docs.limit(2000)).count()
+    t_mark = time.time() * 1000
+    root = tempfile.mkdtemp(prefix="prof_ckpt_", dir="/dev/shm")
+    store = CheckpointStore(spark, root)
+    t0 = time.perf_counter()
+    build_edges(spark, docs, store=store).count()
+    wall = round(time.perf_counter() - t0, 3)
+    spark.stop()  # flush event log
+    shutil.rmtree(root, ignore_errors=True)
+    stages = []
+    # Spark 4 rolling event logs are DIRECTORIES (eventlog_v2_<app>/)
+    for path in glob.glob(f"{evdir}/**/*", recursive=True):
+        if os.path.isdir(path) or "appstatus" in os.path.basename(path):
+            continue
+        with open(path, errors="ignore") as f:
+            for line in f:
+                if '"SparkListenerStageCompleted"' not in line:
+                    continue
+                ev = json.loads(line)["Stage Info"]
+                sub = ev.get("Submission Time")
+                if sub is None or sub < t_mark:
+                    continue
+                acc = {
+                    a["Name"]: a.get("Value", 0)
+                    for a in ev.get("Accumulables", [])
+                }
+                stages.append(
+                    {
+                        "id": ev["Stage ID"],
+                        "name": ev["Stage Name"].split(" at ")[0]
+                        + ":" + str(ev.get("Number of Tasks", 0)),
+                        "wall_s": round(
+                            (ev.get("Completion Time", sub) - sub) / 1000.0, 3
+                        ),
+                        "task_time_s": round(
+                            acc.get("internal.metrics.executorRunTime", 0)
+                            / 1000.0,
+                            3,
+                        ),
+                        "input_mb": round(
+                            acc.get("internal.metrics.input.bytesRead", 0)
+                            / 1e6, 1
+                        ),
+                        "shuffle_read_mb": round(
+                            (
+                                acc.get(
+                                    "internal.metrics.shuffle.read.localBytesRead", 0
+                                )
+                                + acc.get(
+                                    "internal.metrics.shuffle.read.remoteBytesRead", 0
+                                )
+                            )
+                            / 1e6, 1
+                        ),
+                        "shuffle_write_mb": round(
+                            acc.get(
+                                "internal.metrics.shuffle.write.bytesWritten", 0
+                            )
+                            / 1e6, 1
+                        ),
+                    }
+                )
+    shutil.rmtree(evdir, ignore_errors=True)
+    stages.sort(key=lambda s: s["id"])
+    return {"cpus": int(cpus), "sec": wall, "n_docs": n_docs, "stages": stages}
+
+
+def bandwidth_control() -> dict:
+    """Memory-bandwidth-BOUND control job (per-row large string
+    allocation + hash): brackets the flagship between the pure-CPU
+    ceiling (cpu_ceiling) and this allocation-heavy floor, so the
+    flagship's 4->16 efficiency can be attributed."""
+    from pyspark.sql import functions as F
+
+    from renet2_spark.session import get_spark
+
+    out = {}
+    for cpus in (4, 16):
+        spark = get_spark(
+            app_name=f"bw_control_{cpus}",
+            master=f"local[{cpus}]",
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        df = spark.range(0, 3_000_000, 1, 4 * cpus)
+        big = F.repeat(F.concat(F.col("id").cast("string"), F.lit("x")), 300)
+        df.select(F.sum(F.length(F.md5(big)))).collect()  # warm
+        t0 = time.perf_counter()
+        df.select(F.sum(F.length(F.md5(big)))).collect()
+        out[cpus] = time.perf_counter() - t0
+        spark.stop()
+    return {
+        "sec_4": round(out[4], 2),
+        "sec_16": round(out[16], 2),
+        "eff": round(out[4] / out[16] / 4.0, 3),
+    }
+
+
 def cpu_ceiling() -> dict:
     """This machine's OWN parallel-scaling ceiling on pure codegen'd
     arithmetic (no allocation, no shuffle): local[4] vs local[16].
@@ -228,6 +370,10 @@ def scaling(sf_dir: str) -> dict:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--flagship-once":
         print(json.dumps(run_flagship_once(sys.argv[2], sys.argv[3])))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--stage-profile":
+        print(json.dumps(run_stage_profile(sys.argv[2], sys.argv[3])))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--bw-control":
+        print(json.dumps(bandwidth_control()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(scaling(SF_DIR)))
     else:

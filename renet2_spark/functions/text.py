@@ -239,6 +239,52 @@ def split_sentences(text: str) -> list[str]:
     return snts
 
 
+# ---- Filter_rnn (reference utils/sequence_utils.py:170-198) ---------------
+
+# the reference's filter STRING: a token is dropped iff it is a
+# SUBSTRING of this (python `token not in filters` is substring
+# membership — so '()' or '<=' are dropped too, not only single chars)
+RNN_FILTERS = "!\"#$%&()*+,-./:;<=>?@[\\]^_`{|}~\t\n"
+
+
+def filter_rnn(tokens: DataFrame, mentions: DataFrame | None = None
+               ) -> DataFrame:
+    """Reference Filter_rnn over a token stream (doc_id, sent_no,
+    tok_no, token): entity tokens (positions present in `mentions`)
+    always survive with case preserved; other tokens are dropped when
+    they are a substring of RNN_FILTERS, and LOWERCASED otherwise.
+    Survivors get re-numbered tok_no (row_number within the sentence),
+    with the original position kept as orig_tok_no so mention
+    coordinates can be re-joined — the reference gets this renumbering
+    for free because entities are woven into the python list as tuples
+    (sequence_utils.py:177-196). The 8d->6d feature projection of the
+    reference is layout-internal (our encoder carries feature CODES,
+    operators/neural.py) and needs no counterpart."""
+    from pyspark.sql import Window as W
+
+    if mentions is not None:
+        ent = mentions.select(
+            "doc_id", "sent_no", "tok_no", F.lit(True).alias("_ent")
+        ).dropDuplicates(["doc_id", "sent_no", "tok_no"])
+        toks = tokens.join(ent, ["doc_id", "sent_no", "tok_no"], "left")
+    else:
+        toks = tokens.withColumn("_ent", F.lit(None).cast("boolean"))
+    is_ent = F.coalesce("_ent", F.lit(False))
+    # '' is "in" every string in python, so empty tokens drop too
+    dropped = (F.length("token") == 0) | (
+        F.instr(F.lit(RNN_FILTERS), F.col("token")) > 0
+    )
+    kept = toks.filter(is_ent | ~dropped).withColumn(
+        "token", F.when(is_ent, F.col("token")).otherwise(F.lower("token"))
+    )
+    w = W.partitionBy("doc_id", "sent_no").orderBy("tok_no")
+    return (
+        kept.withColumn("orig_tok_no", F.col("tok_no"))
+        .withColumn("tok_no", (F.row_number().over(w) - 1).cast("int"))
+        .drop("_ent")
+    )
+
+
 _TOK_UDF_SCHEMA = T.ArrayType(T.StringType())
 
 

@@ -157,3 +157,42 @@ def test_drop_cross_sentence(spark):
     )
     kept = {r["entity_id"] for r in drop_cross_sentence(ms, sents).collect()}
     assert kept == {"g1", "g3"}
+
+
+def test_filter_rnn(spark):
+    """Reference Filter_rnn (sequence_utils.py:170-198): tokens that
+    are SUBSTRINGS of the filter string drop (so '()' and '<=' drop,
+    not only single chars — python `in` is substring membership);
+    non-entity survivors lowercase; entity positions always survive
+    with case kept; survivors renumber."""
+    from renet2_spark.functions.text import filter_rnn
+
+    toks = spark.createDataFrame(
+        [("d", 0, 0, "TP53"), ("d", 0, 1, "("), ("d", 0, 2, "Tumor"),
+         ("d", 0, 3, ")"), ("d", 0, 4, "<="), ("d", 0, 5, ","),
+         ("d", 0, 6, "Grows")],
+        "doc_id string, sent_no int, tok_no int, token string",
+    )
+    ments = spark.createDataFrame(
+        [("d", 0, 0)], "doc_id string, sent_no int, tok_no int"
+    )
+    got = {
+        r["tok_no"]: (r["token"], r["orig_tok_no"])
+        for r in filter_rnn(toks, ments).collect()
+    }
+    assert got == {0: ("TP53", 0), 1: ("tumor", 2), 2: ("grows", 6)}
+
+
+def test_filter_rnn_entity_punct_survives(spark):
+    from renet2_spark.functions.text import filter_rnn
+
+    toks = spark.createDataFrame(
+        [("d", 0, 0, "("), ("d", 0, 1, "x")],
+        "doc_id string, sent_no int, tok_no int, token string",
+    )
+    ments = spark.createDataFrame(
+        [("d", 0, 0)], "doc_id string, sent_no int, tok_no int"
+    )
+    got = [r["token"] for r in
+           filter_rnn(toks, ments).orderBy("tok_no").collect()]
+    assert got == ["(", "x"]
