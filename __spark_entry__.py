@@ -180,6 +180,130 @@ def q_mentions_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mentions_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 mention-vs-text verification end-to-end (reference
+    parse_data.py:137-144): every mention whose (sent_no+tok_no)%5==2
+    gets its start offset corrupted by +1; verify_mentions must drop
+    exactly those (the extracted substring's length no longer matches
+    the mention's)."""
+    from renet2_spark.operators.tagger import verify_mentions
+
+    docs = _docs(spark, sf_dir)
+    m = tag_mentions(sentences_from_spans(derive_spans(docs)), spark)
+    bad = F.pmod(F.col("sent_no") + F.col("tok_no"), F.lit(5)) == 2
+    corrupted = m.withColumn(
+        "start", F.when(bad, F.col("start") + 1).otherwise(F.col("start"))
+    )
+    return verify_mentions(corrupted, docs).select(
+        "doc_id", "sent_no", "tok_no", "start", "end", "mention", "type",
+        "raw_id",
+    )
+
+
+def q_tokens_rnn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 Filter_rnn end-to-end (reference sequence_utils.py:170-198):
+    punctuation tokens are injected deterministically into the token
+    stream ('(' at k%13==4, '<=' at k%17==9 — the latter pins the
+    SUBSTRING-membership drop rule), entity positions come from the
+    dictionary; filter_rnn must drop the punctuation, keep entities,
+    and renumber survivors."""
+    from renet2_spark.dictionaries import entity_dict_df
+    from renet2_spark.functions.text import filter_rnn
+    from renet2_spark.corpus import SENT_WORDS
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    tok = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.posexplode(words).alias("k", "token"),
+    )
+    inj = (
+        F.when(F.pmod(F.col("k"), F.lit(13)) == 4, F.lit("("))
+        .when(F.pmod(F.col("k"), F.lit(17)) == 9, F.lit("<="))
+        .otherwise(F.col("token"))
+    )
+    toks = tok.select(
+        "doc_id",
+        (F.col("k") / SENT_WORDS).cast("int").alias("sent_no"),
+        F.pmod(F.col("k"), F.lit(SENT_WORDS)).cast("int").alias("tok_no"),
+        inj.alias("token"),
+    )
+    d = entity_dict_df(spark).select("surface")
+    ments = toks.join(
+        F.broadcast(d), F.lower(toks.token) == F.col("surface"), "inner"
+    ).select("doc_id", "sent_no", "tok_no")
+    return filter_rnn(toks, ments).select(
+        "doc_id", "sent_no", "tok_no", "orig_tok_no", "token"
+    )
+
+
+def q_bioc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/F2/F4 BioC-JSON parse + section routing end-to-end: each doc
+    is rendered as a BioC document (title WITHOUT section_type — the
+    real-world shape that used to null out the skip predicate — plus
+    abstract, a skip-listed funding passage, a RESULTS paragraph, a
+    whitelist-excluded METHODS passage, and a figure passage), then
+    parsed back by parse_bioc; the oracle builds the expected kept
+    spans directly."""
+    from renet2_spark.sources.bioc import parse_bioc
+
+    docs = _docs(spark, sf_dir)
+    ws = F.split(F.col("text"), " ")
+    title = F.array_join(F.slice(ws, 1, 10), " ")
+    abstract = F.array_join(F.slice(ws, 11, 10), " ")
+    body = F.array_join(F.slice(ws, 21, 1 << 30), " ")
+    nul = F.lit(None).cast("string")
+
+    def passage(ptype, stype, text, offset, media=None):
+        return F.struct(
+            F.struct(
+                F.lit(ptype).alias("type"),
+                (F.lit(stype) if stype is not None else nul).alias(
+                    "section_type"
+                ),
+            ).alias("infons"),
+            text.alias("text"),
+            offset.cast("int").alias("offset"),
+            (media if media is not None else nul).alias("media_ref"),
+        )
+
+    raw = docs.select(
+        F.to_json(
+            F.struct(
+                F.col("doc_id").cast("string").alias("pmid"),
+                F.array(
+                    passage("title", None, title, F.lit(0)),
+                    passage("abstract", "ABSTRACT", abstract,
+                            F.length(title) + 1),
+                    passage("paragraph", "funding", F.lit("funded by x"),
+                            F.lit(9000)),
+                    passage("paragraph", "RESULTS", body,
+                            F.length(title) + F.length(abstract) + 2),
+                    passage("paragraph", "METHODS", F.lit("methods text"),
+                            F.lit(9001)),
+                    passage(
+                        "fig", "FIGURE", F.lit(""), F.lit(9002),
+                        media=F.concat(
+                            F.lit("img://"), F.col("doc_id").cast("string")
+                        ),
+                    ),
+                ).alias("passages"),
+            )
+        ).alias("doc_json")
+    )
+    spans = parse_bioc(raw)
+    return spans.select(
+        "doc_id", F.posexplode("spans").alias("span_no", "s")
+    ).select(
+        "doc_id",
+        F.col("span_no").cast("int").alias("span_no"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
 def q_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sentence_pair_candidates(_mentions(spark, sf_dir))
 
@@ -268,6 +392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_raw": q_mentions_raw,
         "kg_mentions_clean": q_mentions_clean,
         "kg_mentions_capped": q_mentions_capped,
+        "kg_mentions_verified": q_mentions_verified,
+        "kg_tokens_rnn": q_tokens_rnn,
+        "kg_bioc_roundtrip": q_bioc_roundtrip,
         "kg_pairs": q_pairs,
         "kg_pairs_doc": q_pairs_doc,
         "kg_pairs_labeled": q_pairs_labeled,
@@ -335,6 +462,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions_raw": oracles.q_mentions(canon=False),
         "kg_mentions_clean": oracles.q_mentions_clean(),
         "kg_mentions_capped": oracles.q_mentions_capped(),
+        "kg_mentions_verified": oracles.q_mentions_verified(),
+        "kg_tokens_rnn": oracles.q_tokens_rnn(),
+        "kg_bioc_roundtrip": oracles.q_bioc_roundtrip(),
         "kg_pairs": oracles.q_pairs(),
         "kg_pairs_doc": oracles.q_pairs_doc(),
         "kg_pairs_labeled": oracles.q_pairs_labeled(),

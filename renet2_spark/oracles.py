@@ -287,6 +287,94 @@ WHERE k // 10 < {max_sents}
 """
 
 
+def q_mentions_verified() -> str:
+    """F5: mentions whose start was corrupted ((sent_no+tok_no)%5==2)
+    fail the substring-vs-mention check and are dropped — the kept set
+    is exactly the uncorrupted raw mentions."""
+    return f"""
+WITH {TOKS}
+SELECT doc_id,
+       CAST(k // 10 AS INT) AS sent_no,
+       CAST(k % 10 AS INT) AS tok_no,
+       CAST(CASE WHEN k = 0 THEN 0
+            ELSE length(array_to_string(ws[1:k], ' ')) + 1 END AS INT) AS start,
+       CAST(CASE WHEN k = 0 THEN 0
+            ELSE length(array_to_string(ws[1:k], ' ')) + 1 END
+            + length(token) AS INT) AS "end",
+       token AS mention, e.type AS type, e.raw_id AS raw_id
+FROM toks JOIN {edict_raw()} ON lower(token) = e.surface
+WHERE ((k // 10) + (k % 10)) % 5 != 2
+"""
+
+
+def q_tokens_rnn() -> str:
+    """F8 Filter_rnn: injected punctuation drops (incl. the multi-char
+    substring rule), dictionary positions survive, survivors renumber
+    and non-entity tokens lowercase."""
+    from .functions.text import RNN_FILTERS
+
+    surfaces = ", ".join(
+        f"('{s}')" for s in list(GENE_RAW) + list(DISEASE_RAW)
+    )
+    # the filter string contains no single quotes; tab/newline embed raw
+    return f"""
+WITH {TOKS},
+inj AS (
+  SELECT doc_id, CAST(k // 10 AS INT) AS sent_no, CAST(k % 10 AS INT)
+           AS orig_tok_no, k,
+         CASE WHEN k % 13 = 4 THEN '('
+              WHEN k % 17 = 9 THEN '<='
+              ELSE token END AS token
+  FROM toks
+),
+flagged AS (
+  SELECT i.*, (s.surface IS NOT NULL) AS ent
+  FROM inj i LEFT JOIN (VALUES {surfaces}) AS s(surface)
+    ON lower(i.token) = s.surface
+),
+kept AS (
+  SELECT doc_id, sent_no, orig_tok_no, k,
+         CASE WHEN ent THEN token ELSE lower(token) END AS token
+  FROM flagged
+  WHERE ent OR NOT (token = '' OR strpos('{RNN_FILTERS}', token) > 0)
+)
+SELECT doc_id, sent_no,
+       CAST(row_number() OVER (PARTITION BY doc_id, sent_no ORDER BY k) - 1
+            AS INT) AS tok_no,
+       orig_tok_no, token
+FROM kept
+"""
+
+
+def q_bioc_roundtrip() -> str:
+    """S4/F2/F4: expected kept spans of the synthetic BioC rendering —
+    title (no section_type), abstract, RESULTS paragraph, figure;
+    funding (skip list) and METHODS (whitelist-excluded) dropped."""
+    return f"""
+WITH {WORDS},
+parts AS (
+  SELECT doc_id,
+         coalesce(array_to_string(ws[1:10], ' '), '') AS title,
+         coalesce(array_to_string(list_slice(ws, 11, 20), ' '), '')
+           AS abstract,
+         coalesce(array_to_string(list_slice(ws, 21, len(ws)), ' '), '')
+           AS body
+  FROM words
+)
+SELECT doc_id, CAST(0 AS INT) AS span_no, 'title' AS kind, title AS "text",
+       CAST(NULL AS VARCHAR) AS media_ref, CAST(0 AS INT) AS "offset"
+FROM parts
+UNION ALL
+SELECT doc_id, 1, 'abstract', abstract, NULL,
+       CAST(length(title) + 1 AS INT) FROM parts
+UNION ALL
+SELECT doc_id, 2, 'paragraph', body, NULL,
+       CAST(length(title) + length(abstract) + 2 AS INT) FROM parts
+UNION ALL
+SELECT doc_id, 3, 'figure', '', 'img://' || doc_id, 9002 FROM parts
+"""
+
+
 def _pairs_cte() -> str:
     return f"""
 {SENTS},

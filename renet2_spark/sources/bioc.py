@@ -67,8 +67,12 @@ def parse_bioc(raw: DataFrame, json_col: str = "doc_json") -> DataFrame:
     section = _map_section(
         F.coalesce(F.col("p.infons.section_type"), F.col("p.infons.type"))
     )
+    # coalesce: a passage WITHOUT section_type (common for titles /
+    # abstracts in real BioC) must not null out the skip predicate —
+    # ~(NULL.isin(...)) is NULL and silently drops the row
+    skip_key = F.lower(F.coalesce(F.col("p.infons.section_type"), F.lit("")))
     kept = passages.withColumn("section", section).filter(
-        ~F.lower(F.col("p.infons.section_type")).isin(SECTION_SKIP)
+        ~skip_key.isin(SECTION_SKIP)
         & F.col("section").isin(
             SECTION_WHITELIST + ["FIGURE", "TABLE_MEDIA"]
         )

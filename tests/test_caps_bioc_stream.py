@@ -229,3 +229,25 @@ def test_pubtator_composes_with_canonicalize(spark, tmp_path):
     got = {r["mention"]: r["entity_id"]
            for r in canonicalize_mentions(anns).collect()}
     assert got == {"g": "1008", "d": "D0004"}
+
+
+def test_bioc_parse_null_section_type(spark):
+    """A title passage WITHOUT infons.section_type (the common real
+    BioC shape) must survive — ~(NULL.isin(skip)) is NULL and silently
+    dropped the row before the coalesce fix."""
+    import json as _json
+
+    from renet2_spark.sources.bioc import parse_bioc
+
+    doc = {
+        "pmid": "7",
+        "passages": [
+            {"infons": {"type": "title"},
+             "text": "Title text", "offset": 0, "media_ref": None},
+            {"infons": {"type": "abstract"},
+             "text": "Abstract text.", "offset": 11, "media_ref": None},
+        ],
+    }
+    raw = spark.createDataFrame([(_json.dumps(doc),)], "doc_json string")
+    spans = parse_bioc(raw).collect()[0]["spans"]
+    assert [s["kind"] for s in spans] == ["title", "abstract"]
