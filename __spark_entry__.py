@@ -304,6 +304,31 @@ def q_bioc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 count-stats metrics (reference check_rec_full truncation
+    metrics, raw_handler.py:98-114): corpus-level fill/truncation
+    statistics against the neural pad shape (32 sents x 54 tokens)."""
+    from renet2_spark.operators.neural import MAX_SENTS
+
+    docs = _docs(spark, sf_dir)
+    ws = F.split(F.col("text"), " ")
+    n_tok = F.size(ws)
+    n_sent = F.ceil(n_tok / F.lit(10)).cast("int")
+    return docs.select(
+        n_tok.alias("n_tok"), n_sent.alias("n_sent")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("n_sent").cast("bigint").alias("n_sents"),
+        F.sum(F.when(F.col("n_sent") > MAX_SENTS, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_over_snt_cap"),
+        F.round(
+            F.sum("n_tok").cast("double") / F.sum("n_sent").cast("double"), 5
+        ).alias("avg_tokens_per_sent"),
+    )
+
+
 def q_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sentence_pair_candidates(_mentions(spark, sf_dir))
 
@@ -395,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_verified": q_mentions_verified,
         "kg_tokens_rnn": q_tokens_rnn,
         "kg_bioc_roundtrip": q_bioc_roundtrip,
+        "kg_corpus_metrics": q_corpus_metrics,
         "kg_pairs": q_pairs,
         "kg_pairs_doc": q_pairs_doc,
         "kg_pairs_labeled": q_pairs_labeled,
@@ -465,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions_verified": oracles.q_mentions_verified(),
         "kg_tokens_rnn": oracles.q_tokens_rnn(),
         "kg_bioc_roundtrip": oracles.q_bioc_roundtrip(),
+        "kg_corpus_metrics": oracles.q_corpus_metrics(),
         "kg_pairs": oracles.q_pairs(),
         "kg_pairs_doc": oracles.q_pairs_doc(),
         "kg_pairs_labeled": oracles.q_pairs_labeled(),

@@ -980,3 +980,21 @@ SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
 FROM documents d
 WHERE CAST(d.doc_id AS VARCHAR) NOT IN (SELECT doc_id FROM losers)
 """
+
+
+def q_corpus_metrics(max_sents: int = 32) -> str:
+    """A7 count-stats (reference raw_handler.py:98-114)."""
+    return f"""
+WITH {WORDS},
+per AS (SELECT len(ws) AS n_tok,
+               CAST(ceil(len(ws) / 10.0) AS INT) AS n_sent
+        FROM words)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(n_sent) AS BIGINT) AS n_sents,
+       CAST(sum(CASE WHEN n_sent > {max_sents} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_over_snt_cap,
+       round(CAST(sum(n_tok) AS DOUBLE) / CAST(sum(n_sent) AS DOUBLE), 5)
+         AS avg_tokens_per_sent
+FROM per
+"""
