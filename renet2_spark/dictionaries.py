@@ -150,6 +150,37 @@ def entity_dict_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def entity_dict_fused_df(spark: SparkSession) -> DataFrame:
+    """(surface, type, entity_id) with canonicalization, MeSH validity
+    and joint-tag fusion PRE-FOLDED into the dimension: a surface
+    carrying both a gene and a disease id becomes ONE 'Gene-Disease'
+    row with composite id 'g>-<d' (reference make_tags fusion,
+    sequence_utils.py:17-26), invalid C-prefix diseases are excluded
+    (mesh_match.py:9-14), ids are canonical (parse_ann_id).
+
+    For a token-granularity tagger this is EXACTLY equivalent to
+    tag -> canonicalize -> fuse_joint_tags (same (doc,sent,tok,mention)
+    can only collide via dictionary collision), but costs zero runtime
+    shuffles: the work moves into the O(MB) broadcast dimension —
+    asserted equivalent in tests/test_invariant.py. The reference
+    likewise canonicalizes at parse time, not score time
+    (parse_data.py:29-41)."""
+    rows: dict[str, tuple[str, str]] = {}
+    for s, g in GENE_CANON.items():
+        rows[s] = ("Gene", g)
+    for s, d in DISEASE_CANON.items():
+        if not (d.startswith("D") or d in MESH_C2D_VALID):
+            continue
+        if s in rows:
+            rows[s] = ("Gene-Disease", f"{rows[s][1]}>-<{d}")
+        else:
+            rows[s] = ("Disease", d)
+    return spark.createDataFrame(
+        [(s, t, e) for s, (t, e) in rows.items()],
+        "surface string, type string, entity_id string",
+    )
+
+
 def entity_dict_ext_df(spark: SparkSession) -> DataFrame:
     """entity_dict_df plus the cleaning-fixture surfaces (single-token
     only; multiword surfaces go through tagger.tag_multiword)."""

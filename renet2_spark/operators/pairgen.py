@@ -39,7 +39,7 @@ def sentence_pair_candidates(mentions: DataFrame) -> DataFrame:
             F.when(F.col("type") == "Gene", F.col("entity_id"))
         ).alias("genes"),
         F.collect_set(
-            F.when(F.col("type") == "Disease", F.col("entity_id"))
+            F.when(F.col("type") != "Gene", F.col("entity_id"))
         ).alias("diseases"),
     )
     pairs = (
@@ -64,7 +64,7 @@ def doc_pair_candidates(mentions: DataFrame) -> DataFrame:
             F.when(F.col("type") == "Gene", F.col("entity_id"))
         ).alias("genes"),
         F.collect_set(
-            F.when(F.col("type") == "Disease", F.col("entity_id"))
+            F.when(F.col("type") != "Gene", F.col("entity_id"))
         ).alias("diseases"),
     )
     return (
@@ -102,7 +102,7 @@ def pair_features(
     g_cnt = cnt.filter(F.col("type") == "Gene").select(
         "doc_id", F.col("entity_id").alias("gene_id"), F.col("n_mentions").alias("n_g")
     )
-    d_cnt = cnt.filter(F.col("type") == "Disease").select(
+    d_cnt = cnt.filter(F.col("type") != "Gene").select(
         "doc_id",
         F.col("entity_id").alias("disease_id"),
         F.col("n_mentions").alias("n_d"),

@@ -137,7 +137,7 @@ def attach_names(edges: DataFrame, entity_info: DataFrame) -> DataFrame:
     g = entity_info.filter(F.col("type") == "Gene").select(
         "doc_id", F.col("entity_id").alias("gene_id"), F.col("name").alias("g_name")
     )
-    d = entity_info.filter(F.col("type") == "Disease").select(
+    d = entity_info.filter(F.col("type") != "Gene").select(
         "doc_id",
         F.col("entity_id").alias("disease_id"),
         F.col("name").alias("d_name"),

@@ -248,6 +248,7 @@ def tag_mentions_fast(documents: DataFrame, spark: SparkSession,
     from ..corpus import SENT_WORDS
 
     d = entity_dict if entity_dict is not None else entity_dict_df(spark)
+    id_cols = [c for c in ("raw_id", "entity_id") if c in d.columns]
     words = F.split(F.col("text"), " ")
     tok = documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -261,6 +262,6 @@ def tag_mentions_fast(documents: DataFrame, spark: SparkSession,
             F.pmod(F.col("k"), F.lit(SENT_WORDS)).cast("int").alias("tok_no"),
             F.col("token").alias("mention"),
             "type",
-            "raw_id",
+            *id_cols,
         )
     )

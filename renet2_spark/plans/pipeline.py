@@ -40,20 +40,21 @@ def build_mentions(spark: SparkSession, documents: DataFrame) -> DataFrame:
     # in tests/test_invariant.py
     #
     # Cleaning chain (reference hot path raw.py:615-895 + make_tags):
-    # joint-tag fusion always applies after canonicalization — it is
-    # the only make_tags rule reachable from a token-granularity
-    # tagger (one mention per token: spans can collide exactly, never
-    # partially overlap, and never cross a sentence). Span-granularity
-    # rules (overlap merge, cross-sentence drop) live on the
-    # span-bearing extraction path (kg_mentions_clean in
-    # __spark_entry__, tag_mentions + tag_multiword). The fusion
-    # groupBy shuffles MENTION rows only (a small fraction of tokens),
-    # keyed by (doc, sent, tok) — document-uniform, skew-immune.
-    from ..operators.anncleaner import fuse_joint_tags
+    # canonicalization (parse_ann_id), MeSH validity and joint-tag
+    # fusion are PRE-FOLDED into the broadcast dictionary
+    # (dictionaries.entity_dict_fused_df) — for a token-granularity
+    # tagger, same-(doc,sent,tok,mention) collisions can only arise
+    # from dictionary collisions, so dimension-side fusion is exactly
+    # equivalent to tag -> canonicalize -> fuse_joint_tags (asserted
+    # in tests/test_invariant.py) at ZERO runtime shuffles. The
+    # span-granularity rules (overlap merge, cross-sentence drop) live
+    # on the span-bearing extraction path (kg_mentions_clean in
+    # __spark_entry__, tag_mentions + tag_multiword).
+    from ..dictionaries import entity_dict_fused_df
     from ..operators.tagger import tag_mentions_fast
 
-    return fuse_joint_tags(
-        canonicalize_mentions(tag_mentions_fast(documents, spark))
+    return tag_mentions_fast(
+        documents, spark, entity_dict=entity_dict_fused_df(spark)
     )
 
 
@@ -87,7 +88,9 @@ def build_edges(
         F.col("n_mentions").alias("n_g"),
         F.col("name").alias("g_name"),
     )
-    d = info.filter(F.col("type") == "Disease").select(
+    # reference routes every non-Gene tag (incl. composites) to the
+    # disease side (ann_utils.py:195-207)
+    d = info.filter(F.col("type") != "Gene").select(
         "doc_id",
         F.col("entity_id").alias("disease_id"),
         F.col("n_mentions").alias("n_d"),

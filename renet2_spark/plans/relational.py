@@ -238,7 +238,7 @@ def kg_threshold_sweep(spark, sf_dir) -> DataFrame:
         F.col("entity_id").alias("gene_id"),
         F.col("n_mentions").alias("n_g"),
     )
-    d = info.filter(F.col("type") == "Disease").select(
+    d = info.filter(F.col("type") != "Gene").select(
         "doc_id",
         F.col("entity_id").alias("disease_id"),
         F.col("n_mentions").alias("n_d"),

@@ -94,3 +94,65 @@ def test_sentences_direct_equals_span_path(spark):
     a = sentences_direct(docs)
     b = sentences_from_spans(derive_spans(docs))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_fused_dict_equals_runtime_fusion(spark):
+    """Dimension-side fusion/canonicalization (entity_dict_fused_df)
+    must equal tag -> canonicalize -> fuse_joint_tags on the token
+    path — including for a dictionary where a surface IS both a gene
+    and a disease (the ext 'table' surface)."""
+    from pyspark.sql import functions as F
+
+    from renet2_spark.dictionaries import (
+        DISEASE_CANON,
+        DISEASE_EXT_CANON,
+        DISEASE_EXT_RAW,
+        DISEASE_RAW,
+        GENE_CANON,
+        GENE_EXT_CANON,
+        GENE_EXT_RAW,
+        GENE_RAW,
+        MESH_C2D_VALID,
+    )
+    from renet2_spark.operators.anncleaner import fuse_joint_tags
+    from renet2_spark.operators.normalize import canonicalize_mentions
+    from renet2_spark.operators.tagger import tag_mentions_fast
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    # runtime chain over the EXT dict (raw ids)
+    rows = [(s, "Gene", r) for s, r in GENE_RAW.items()]
+    rows += [(s, "Disease", r) for s, r in DISEASE_RAW.items()]
+    rows += [(s, "Gene", r) for s, r in GENE_EXT_RAW.items()]
+    rows += [(s, "Disease", r) for s, r in DISEASE_EXT_RAW.items()]
+    raw_dict = spark.createDataFrame(
+        rows, "surface string, type string, raw_id string"
+    )
+    runtime = fuse_joint_tags(
+        canonicalize_mentions(tag_mentions_fast(docs, spark, raw_dict))
+    )
+
+    # fused dimension built the same way entity_dict_fused_df does,
+    # but over base+ext
+    fused_rows: dict = {}
+    for s, g in {**GENE_CANON, **GENE_EXT_CANON}.items():
+        fused_rows[s] = ("Gene", g)
+    for s, d in {**DISEASE_CANON, **DISEASE_EXT_CANON}.items():
+        if not (d.startswith("D") or d in MESH_C2D_VALID):
+            continue
+        if s in fused_rows:
+            fused_rows[s] = ("Gene-Disease", f"{fused_rows[s][1]}>-<{d}")
+        else:
+            fused_rows[s] = ("Disease", d)
+    fused_dict = spark.createDataFrame(
+        [(s, t, e) for s, (t, e) in fused_rows.items()],
+        "surface string, type string, entity_id string",
+    )
+    dimside = tag_mentions_fast(docs, spark, fused_dict)
+
+    cols = ["doc_id", "sent_no", "tok_no", "mention", "type", "entity_id"]
+    a = {tuple(r) for r in runtime.select(*cols).collect()}
+    b = {tuple(r) for r in dimside.select(*cols).collect()}
+    assert a == b and len(a) > 0
+    # the joint surface actually fused
+    assert any(t[4] == "Gene-Disease" for t in a)
