@@ -350,6 +350,16 @@ def q_pairs_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_labels(pairs, labels)
 
 
+def q_silver_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 silver-vote merge (reference train.py:451-480): all-negative
+    pairs across 4 deterministic tool stand-ins, minus the annotated
+    set, labeled 0."""
+    from renet2_spark.operators.labels import silver_negatives, synthetic_labels
+
+    pairs = doc_pair_candidates(_mentions(spark, sf_dir))
+    return silver_negatives(pairs, synthetic_labels(pairs))
+
+
 def q_unify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 per-doc id unification driven end-to-end (reference
     normalize_ann.py:26-49): mentions are salted with a token-parity
@@ -424,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pairs": q_pairs,
         "kg_pairs_doc": q_pairs_doc,
         "kg_pairs_labeled": q_pairs_labeled,
+        "kg_silver_negatives": q_silver_negatives,
         "kg_unify": q_unify,
         "kg_scores": q_scores,
         "kg_scores_probx": q_scores_probx,
@@ -449,6 +460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_topk_brute": lambda s, d: sim.ann_topk_brute(_emb(s, d)),
         "ann_topk_lsh": lambda s, d: sim.ann_topk_lsh(_emb(s, d)),
+        # IVF scale path (approximate -> rows-only; recall vs brute
+        # asserted in tests/test_similarity.py); needs the package on
+        # executor python workers (pandas UDF closure)
+        "ann_topk_ivf": lambda s, d: (_ship_pkg(s), sim.ann_topk_ivf(_emb(s, d)))[1],
         # text analysis
         "text_stats": lambda s, d: ts.text_stats(_docs(s, d)),
         "lang_id": lambda s, d: ts.lang_id(_docs(s, d)),
@@ -495,6 +510,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pairs": oracles.q_pairs(),
         "kg_pairs_doc": oracles.q_pairs_doc(),
         "kg_pairs_labeled": oracles.q_pairs_labeled(),
+        "kg_silver_negatives": oracles.q_silver_negatives(),
         "kg_unify": oracles.q_unify(),
         "kg_scores": oracles.q_scores(),
         "kg_scores_probx": oracles.q_scores_probx(),

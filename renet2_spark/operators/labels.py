@@ -57,6 +57,61 @@ def synthetic_labels(pairs: DataFrame) -> DataFrame:
     )
 
 
+N_SILVER_TOOLS = 4  # reference train.py:454-470: RENET/BeFree/DTMiner/BioBERT
+
+
+def tool_votes(pairs: DataFrame, n_tools: int = N_SILVER_TOOLS) -> DataFrame:
+    """Deterministic stand-ins for the 4 external tools' outputs
+    (reference train.py:345-376 reads BeFree/DTMiner/BioBERT result
+    files): tool i sees a pair iff hex digit of md5('ti:triple') < 8
+    and predicts positive iff < 2. LONG format (doc_id, gene_id,
+    disease_id, tool, pred) — the Spark-first replacement for the
+    reference's 4-frame outer-join chain (train.py:454-470): unionByName
+    + one grouped aggregation instead of 3 successive full-outer
+    shuffles."""
+    votes = None
+    for i in range(n_tools):
+        d = _label_digit(
+            F.concat(F.lit(f"t{i}:"), F.col("doc_id")),
+            F.col("gene_id"),
+            F.col("disease_id"),
+        )
+        t = (
+            pairs.select("doc_id", "gene_id", "disease_id")
+            .distinct()
+            .withColumn("_d", d)
+            .filter(F.col("_d") < 8)
+            .select(
+                "doc_id",
+                "gene_id",
+                "disease_id",
+                F.lit(i).alias("tool"),
+                (F.col("_d") < 2).cast("int").alias("pred"),
+            )
+        )
+        votes = t if votes is None else votes.unionByName(t)
+    return votes
+
+
+def silver_negatives(pairs: DataFrame, annotated: DataFrame) -> DataFrame:
+    """J6 silver-vote merge (reference train.py:451-480): pairs seen by
+    >= 1 tool where EVERY observed prediction is negative become
+    silver negatives (label 0), minus already-annotated pairs
+    (left-anti; the reference's new_label.isnull() filter at 468-469).
+    The 2x-positives downsampling lives in caps.sample_balanced
+    (probabilistic, train-only)."""
+    keys = ["doc_id", "gene_id", "disease_id"]
+    agg = tool_votes(pairs).groupBy(*keys).agg(
+        F.max("pred").alias("_any_pos"),
+        F.count("*").cast("int").alias("n_tools"),
+    )
+    return (
+        agg.filter(F.col("_any_pos") == 0)
+        .join(annotated.select(*keys), keys, "left_anti")
+        .select(*keys, "n_tools", F.lit(0.0).alias("label"))
+    )
+
+
 def join_labels(pairs: DataFrame, labels: DataFrame) -> DataFrame:
     """J1: pairs LEFT-join labels on the id triple + fillna(0)
     (reference raw_handler.py:45-47). Ambiguous 0.5 rows pass through

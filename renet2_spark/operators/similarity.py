@@ -16,6 +16,7 @@ as literal arrays), so results are stable across runs/executors.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -84,6 +85,105 @@ def lsh_buckets(
         "vec_id", F.explode(F.array(*out)).alias("tb")
     ).select(
         "vec_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 5,
+    sample_ids: int = 512,
+) -> np.ndarray:
+    """Deterministic mini k-means (cosine/spherical) over a BOUNDED
+    sample (vec_id < sample_ids): the sample is a tiny driver-side
+    collect no matter the corpus size, Lloyd iterations run in NumPy on
+    the driver, and the resulting [C, d] centroid matrix broadcasts.
+    Initialization = first C sample vectors (id order) — seed-free and
+    stable across runs/partitionings."""
+    rows = (
+        embeddings.filter(F.col("vec_id") < sample_ids)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    c = x[:n_centroids].copy()
+    for _ in range(n_iters):
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(n_centroids):
+            m = x[assign == j]
+            if len(m):
+                c[j] = m.mean(axis=0)
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return c
+
+
+def _ivf_probe_udf(centroids: np.ndarray, nprobe: int):
+    """Vectorized pandas UDF: embedding -> array of the nprobe nearest
+    centroid ids (one batched matmul per Arrow batch)."""
+    from pyspark.sql import types as T
+
+    c = centroids.astype(np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe(emb: pd.Series) -> pd.Series:
+        x = np.array(emb.tolist(), dtype=np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ c.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([row.astype(int).tolist() for row in top])
+
+    return probe
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 20,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF approximate top-k (the second scale path next to LSH):
+    vectors are bucketed by nearest centroid (inverted file), queries
+    probe their nprobe nearest centroid buckets, candidates are exact
+    re-ranked. Global search becomes a centroid-keyed equi-join —
+    candidate generation is O(n * nprobe / C) per query instead of
+    O(n). Approximate: recall vs the brute baseline asserted in
+    tests/test_similarity.py; rows-only in the driver contract."""
+    cents = ivf_centroids(embeddings, n_centroids=n_centroids)
+    probe = _ivf_probe_udf(cents, nprobe)
+    assign1 = _ivf_probe_udf(cents, 1)
+    inv = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(assign1(F.col("embedding"))).alias("cid"),
+    )
+    qprobe = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(probe(F.col("embedding"))).alias("cid"),
+    )
+    cand = (
+        qprobe.join(inv, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cos", F.round(cosine(F.col("qe"), F.col("ne")), 5))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
     )
 
 

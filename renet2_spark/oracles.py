@@ -998,3 +998,48 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
          AS avg_tokens_per_sent
 FROM per
 """
+
+
+def q_silver_negatives(n_tools: int = 4) -> str:
+    """J6 silver-vote merge (reference train.py:451-480)."""
+    tool_branches = " UNION ALL ".join(
+        f"""
+SELECT doc_id, gene_id, disease_id, {i} AS tool,
+       CASE WHEN dgt < 2 THEN 1 ELSE 0 END AS pred
+FROM (SELECT *,
+             strpos('0123456789abcdef',
+                    substr(md5('t{i}:' || doc_id || ':' || gene_id || ':'
+                               || disease_id), 1, 1)) - 1 AS dgt
+      FROM doc_pairs)
+WHERE dgt < 8"""
+        for i in range(n_tools)
+    )
+    return f"""
+WITH {TOKS},
+dg AS (SELECT DISTINCT doc_id, g.gene_id
+       FROM toks JOIN {gdict()} ON lower(token) = g.surface),
+dd AS (SELECT DISTINCT doc_id, d.disease_id
+       FROM toks JOIN {ddict()} ON lower(token) = d.surface),
+doc_pairs AS (SELECT doc_id, gene_id, disease_id FROM dg JOIN dd USING (doc_id)),
+votes AS ({tool_branches}),
+agg AS (
+  SELECT doc_id, gene_id, disease_id, max(pred) AS any_pos,
+         CAST(count(*) AS INT) AS n_tools
+  FROM votes GROUP BY 1, 2, 3
+),
+annotated AS (
+  SELECT doc_id, gene_id, disease_id
+  FROM (SELECT *,
+               strpos('0123456789abcdef',
+                      substr(md5(doc_id || ':' || gene_id || ':' || disease_id),
+                             1, 1)) - 1 AS dgt
+        FROM doc_pairs)
+  WHERE dgt < 8
+)
+SELECT a.doc_id, a.gene_id, a.disease_id, a.n_tools, 0.0 AS label
+FROM agg a
+WHERE a.any_pos = 0
+  AND NOT EXISTS (SELECT 1 FROM annotated x
+                  WHERE x.doc_id = a.doc_id AND x.gene_id = a.gene_id
+                    AND x.disease_id = a.disease_id)
+"""

@@ -31,3 +31,35 @@ def test_brute_topk_ranks_are_dense(spark):
     assert set(by_q) == set(range(5))
     for ranks in by_q.values():
         assert sorted(ranks) == [1, 2, 3]
+
+
+def test_ivf_recall_vs_brute(spark):
+    from renet2_spark.operators import similarity as sim
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in sim.ann_topk_brute(emb).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in sim.ann_topk_ivf(emb).collect()}
+    assert brute
+    assert len(ivf & brute) / len(brute) >= 0.5
+    # every IVF result is a true vector pair with correct rank order
+    per_q = {}
+    for r in sim.ann_topk_ivf(emb).collect():
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["cos"]))
+    for q, rows in per_q.items():
+        rows.sort()
+        assert all(rows[i][1] >= rows[i + 1][1] for i in range(len(rows) - 1))
+
+
+def test_ivf_centroids_deterministic(spark):
+    import numpy as np
+
+    from renet2_spark.operators import similarity as sim
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    c1 = sim.ivf_centroids(emb)
+    c2 = sim.ivf_centroids(emb.repartition(7))
+    assert np.allclose(c1, c2)
