@@ -51,8 +51,12 @@ def write_table(
 
 def read_table(spark: SparkSession, path_or_name: str) -> DataFrame:
     if iceberg_available(spark):
+        from pyspark.errors import AnalysisException
+
         try:
             return spark.read.table(path_or_name)
-        except Exception:
+        except AnalysisException:
+            # name not registered in the catalog -> it was written as a
+            # parquet path by the degraded writer; fall through
             pass
     return spark.read.parquet(path_or_name)
