@@ -65,32 +65,43 @@ def tool_votes(pairs: DataFrame, n_tools: int = N_SILVER_TOOLS) -> DataFrame:
     (reference train.py:345-376 reads BeFree/DTMiner/BioBERT result
     files): tool i sees a pair iff hex digit of md5('ti:triple') < 8
     and predicts positive iff < 2. LONG format (doc_id, gene_id,
-    disease_id, tool, pred) — the Spark-first replacement for the
-    reference's 4-frame outer-join chain (train.py:454-470): unionByName
-    + one grouped aggregation instead of 3 successive full-outer
-    shuffles."""
-    votes = None
+    disease_id, tool, pred), produced by ONE scan + a row-local
+    explode of the per-tool votes — the Spark-first replacement for
+    the reference's 4-frame outer-join chain (train.py:454-470); a
+    union of 4 per-tool branches would recompute the upstream pair
+    pipeline 4x (Spark does not CSE across union branches)."""
+    tools = []
     for i in range(n_tools):
         d = _label_digit(
             F.concat(F.lit(f"t{i}:"), F.col("doc_id")),
             F.col("gene_id"),
             F.col("disease_id"),
         )
-        t = (
-            pairs.select("doc_id", "gene_id", "disease_id")
-            .distinct()
-            .withColumn("_d", d)
-            .filter(F.col("_d") < 8)
-            .select(
-                "doc_id",
-                "gene_id",
-                "disease_id",
+        tools.append(
+            F.struct(
                 F.lit(i).alias("tool"),
-                (F.col("_d") < 2).cast("int").alias("pred"),
+                d.alias("_d"),
+                (d < 2).cast("int").alias("pred"),
             )
         )
-        votes = t if votes is None else votes.unionByName(t)
-    return votes
+    return (
+        pairs.select("doc_id", "gene_id", "disease_id")
+        .distinct()
+        .select(
+            "doc_id",
+            "gene_id",
+            "disease_id",
+            F.explode(F.array(*tools)).alias("v"),
+        )
+        .filter(F.col("v._d") < 8)
+        .select(
+            "doc_id",
+            "gene_id",
+            "disease_id",
+            F.col("v.tool").alias("tool"),
+            F.col("v.pred").alias("pred"),
+        )
+    )
 
 
 def silver_negatives(pairs: DataFrame, annotated: DataFrame) -> DataFrame:

@@ -1,0 +1,96 @@
+"""Physical-plan regression guards: the properties that make these
+plans scale (broadcast dimensions, column pruning, candidate
+restriction, single-scan fan-outs) are asserted so a refactor cannot
+silently regress them to shuffle-heavy shapes."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_flagship_scan_prunes_columns(spark):
+    """The parquet scan behind kg_edges must read ONLY doc_id + text
+    (the documents table has more columns)."""
+    from renet2_spark.plans.pipeline import build_edges
+
+    plan = _executed(build_edges(spark, _docs(spark)))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_flagship_dictionary_join_is_broadcast(spark):
+    from renet2_spark.plans.pipeline import build_mentions
+
+    plan = _executed(build_mentions(spark, _docs(spark)))
+    assert "BroadcastHashJoin" in plan
+    # dictionary-folded fusion: the mention path is ONE join total
+    assert plan.count("Join") - plan.count("ReusedExchange") <= plan.count(
+        "BroadcastHashJoin"
+    ) + 1
+
+
+def test_minhash_verify_is_candidate_restricted(spark):
+    """No unrestricted shingle self-join: the verify path must contain
+    the candidate-doc LeftSemi restriction."""
+    from renet2_spark.operators.dedup import dedup_minhash_lsh
+
+    plan = _optimized(dedup_minhash_lsh(_docs(spark)))
+    assert "LeftSemi" in plan
+
+
+def test_ngram_cap_applies_map_side(spark):
+    """The df cap must be a broadcast ANTI join (map-side drop), not a
+    shuffled semi join of the whole inverted index."""
+    from renet2_spark.operators.dedup import dedup_ngram_jaccard
+
+    plan = _executed(dedup_ngram_jaccard(_docs(spark)))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_tool_votes_single_scan(spark):
+    """Silver votes fan out row-locally (explode), not via a 4-branch
+    union that would recompute the pair pipeline 4x."""
+    from renet2_spark.operators.labels import tool_votes
+
+    pairs = spark.createDataFrame(
+        [("1", "g", "d")], "doc_id string, gene_id string, disease_id string"
+    )
+    plan = _optimized(tool_votes(pairs))
+    assert "Union" not in plan
+    assert plan.count("Generate explode") == 1 or "Generate" in plan
+
+
+def test_labels_join_keys_include_doc(spark):
+    """The labels join shuffles on the full id triple (document-keyed,
+    hot-entity immune)."""
+    from renet2_spark.operators.labels import join_labels, synthetic_labels
+
+    pairs = spark.createDataFrame(
+        [("1", "g", "d", 1)],
+        "doc_id string, gene_id string, disease_id string, n_cooc_sents int",
+    )
+    out = join_labels(pairs, synthetic_labels(pairs))
+    assert {"doc_id", "gene_id", "disease_id", "n_cooc_sents", "label"} == set(
+        out.columns
+    )
+
+
+def test_vote_predicate_reaches_join(spark):
+    """Catalyst pushes the ensemble vote cutoff below the final joins
+    (rejected pairs never materialize post-join) — visible as the
+    hit-count CASE chain inside a Join condition or pre-join Filter."""
+    from renet2_spark.plans.pipeline import build_edges
+
+    plan = _optimized(build_edges(spark, _docs(spark)))
+    assert "Join" in plan and "CASE WHEN" in plan
