@@ -251,3 +251,48 @@ def test_bioc_parse_null_section_type(spark):
     raw = spark.createDataFrame([(_json.dumps(doc),)], "doc_json string")
     spans = parse_bioc(raw).collect()[0]["spans"]
     assert [s["kind"] for s in spans] == ["title", "abstract"]
+
+
+def test_stream_windowed_mention_counts_watermark(spark, tmp_path):
+    """Watermarked event-time windows: append mode emits a window only
+    after the watermark passes it; a second micro-batch advances the
+    watermark and flushes the previously-open window; counts equal the
+    batch aggregation over the emitted windows."""
+    import datetime as dt
+
+    from renet2_spark.streaming.incremental import (
+        stream_windowed_mention_counts,
+    )
+
+    indir, outdir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def write_batch(rows, name):
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(indir)
+
+    # batch 1: mentions at t0 (2 genes, 1 disease) and one at t0+60min
+    write_batch(
+        [(1, "scan join slow", t0), (2, "merge the big", t0),
+         (3, "scan data", t0 + dt.timedelta(minutes=60))], "b1"
+    )
+    stream_windowed_mention_counts(spark, indir, outdir, ckpt)
+    got1 = {
+        (r["window_start"], r["type"]): r["n_mentions"]
+        for r in spark.read.parquet(outdir).collect()
+    }
+    # watermark after batch1 = t0+60 - 30min -> the t0 window emitted,
+    # the t0+60 window still open
+    assert got1 == {(t0, "Gene"): 3, (t0, "Disease"): 2}
+
+    # batch 2 advances the watermark past the t0+60 window
+    write_batch([(4, "filter text", t0 + dt.timedelta(minutes=180))], "b2")
+    stream_windowed_mention_counts(spark, indir, outdir, ckpt)
+    got2 = {
+        (r["window_start"], r["type"]): r["n_mentions"]
+        for r in spark.read.parquet(outdir).collect()
+    }
+    assert got2[(t0 + dt.timedelta(minutes=60), "Gene")] == 1
