@@ -167,3 +167,24 @@ def test_metrics_roundtrip(spark, root):
     store.record_metrics("tag", {"docs_per_sec": 123.4, "mentions": 11233})
     m = {r["metric"]: r["value"] for r in store.metrics().collect()}
     assert m["docs_per_sec"] == 123.4
+
+
+def test_write_table_parquet_fallback(spark, root):
+    """S6 sink: no Iceberg runtime on this classpath -> write_table
+    degrades to parquet with the same layout contract."""
+    from renet2_spark.sources.tables import (
+        iceberg_available,
+        read_table,
+        write_table,
+    )
+
+    df = spark.createDataFrame(
+        [("1", "Gene", 3), ("2", "Disease", 5)],
+        "doc_id string, type string, n int",
+    )
+    path = root + "/nodes"
+    fmt = write_table(df, path, partition_by=["type"])
+    assert fmt == ("iceberg" if iceberg_available(spark) else "parquet")
+    back = read_table(spark, path)
+    assert back.count() == 2
+    assert {r["type"] for r in back.collect()} == {"Gene", "Disease"}

@@ -60,3 +60,59 @@ def test_media_rule_and_sentence_math(doc_id, ws):
         sent = " ".join(ws[s * 10 : s * 10 + 10])
         assert text[off : off + len(sent)] == sent
     assert all(2 <= m < n_sent for m in media)
+
+
+def _scan_model(tags):
+    """Reference make_tags phase-2 scan, re-expressed in plain python
+    (sequence_utils.py:42-80): overlap (start < running end, exclusive
+    ends) REPLACES the previous kept tag with [kept.start, new.end] +
+    the NEW identity; running end := each scanned tag's own end."""
+    kept = []
+    cur_end = None
+    for t in sorted(tags):
+        if kept and t[0] < cur_end:
+            prev = kept.pop()
+            kept.append((prev[0],) + t[1:])
+        else:
+            kept.append(t)
+        cur_end = t[1]
+    return kept
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 30), st.integers(1, 10), st.text("ab", min_size=1, max_size=3)),
+    min_size=1, max_size=12))
+@settings(max_examples=25, deadline=None)
+def test_merge_overlaps_equals_reference_scan(spark, spans):
+    """The window-chain formulation of merge_overlaps must equal the
+    reference's sequential scan for ARBITRARY span sets (incl.
+    contained spans that shrink the running end and duplicate
+    starts)."""
+    tags = []
+    seen = set()
+    for i, (s, ln, name) in enumerate(spans):
+        key = (s, s + ln, name)
+        if key in seen:  # model sort needs unique tuples for determinism
+            continue
+        seen.add(key)
+        tags.append((s, s + ln, f"m{name}", f"e{name}{i}"))
+    rows = [("d", 0, i, s, e, m, "Gene", eid)
+            for i, (s, e, m, eid) in enumerate(tags)]
+    from renet2_spark.operators.anncleaner import merge_overlaps
+
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, sent_no int, tok_no int, start int, end int, "
+        "mention string, type string, entity_id string",
+    )
+    got = {(r["start"], r["end"], r["mention"], r["entity_id"])
+           for r in merge_overlaps(df).collect()}
+    # model operates on (start, end, mention, type, entity_id, tok_no)
+    # sort order; replicate the window's ordering exactly
+    ordered = sorted(
+        (s, e, m, "Gene", eid, i)
+        for i, (s, e, m, eid) in enumerate(tags)
+    )
+    model_in = [(t[0], t[1], t[2], t[4]) for t in ordered]
+    want = set(_scan_model(model_in))
+    assert got == want
