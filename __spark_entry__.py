@@ -524,8 +524,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": oracles.q_dedup_embedding(),
         "dedup_survivors": oracles.q_dedup_survivors(),
         "ann_topk_brute": oracles.q_ann_topk(),
-        # ann_topk_lsh is approximate — rows-only check; recall vs the
-        # brute-force baseline asserted in tests/test_similarity.py
+        # LSH queries have EXACT oracles: the hyperplanes are
+        # deterministic literals both engines share
+        "dedup_embedding_lsh": oracles.q_dedup_embedding_lsh(),
+        "ann_topk_lsh": oracles.q_ann_topk_lsh(),
         "text_stats": oracles.q_text_stats(),
         "lang_id": oracles.q_lang_id(),
         "token_counts": oracles.q_token_counts(),

@@ -1043,3 +1043,82 @@ WHERE a.any_pos = 0
                   WHERE x.doc_id = a.doc_id AND x.gene_id = a.gene_id
                     AND x.disease_id = a.disease_id)
 """
+
+
+def _lsh_planes_sql(n_planes: int, n_tables: int, dim: int = 64,
+                    seed: int = 42) -> list[list[str]]:
+    """Per-table bucket-bit dot-product literals, sharing the EXACT
+    plane values the Spark side uses (similarity._hyperplanes)."""
+    from .operators.similarity import _hyperplanes
+
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        bits = []
+        for p in planes:
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+                f"{lit}::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+            )
+        tables.append(bits)
+    return tables
+
+
+def _lsh_buckets_cte(n_planes: int, n_tables: int) -> str:
+    branches = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {' || '.join(bits)} AS bucket "
+        f"FROM embeddings"
+        for t, bits in enumerate(_lsh_planes_sql(n_planes, n_tables))
+    )
+    return f"buckets AS ({branches})"
+
+
+def q_dedup_embedding_lsh(threshold: float = 0.9, n_planes: int = 4,
+                          n_tables: int = 8) -> str:
+    """LSH-blocked embedding near-dup — EXACT oracle: the random
+    hyperplanes are deterministic literals, so DuckDB reproduces
+    candidate generation bit-for-bit (sign of the same IEEE dot
+    product) and the exact-cosine verify."""
+    return f"""
+WITH {_lsh_buckets_cte(n_planes, n_tables)},
+cand AS (
+  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+  FROM buckets x JOIN buckets y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.va AS vec_a, c.vb AS vec_b, {_COS} AS cos
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.va
+JOIN embeddings b ON b.vec_id = c.vb
+WHERE {_COS} >= {threshold}
+"""
+
+
+def q_ann_topk_lsh(k: int = 5, n_queries: int = 20, n_planes: int = 8,
+                   n_tables: int = 4) -> str:
+    """Approximate top-k with LSH candidates — exact oracle (same
+    literal hyperplanes): candidates within shared buckets, exact
+    cosine re-rank, rank over the ROUNDED cosine like the Spark side."""
+    return f"""
+WITH {_lsh_buckets_cte(n_planes, n_tables)},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets v
+    ON q.tbl = v.tbl AND q.bucket = v.bucket AND q.vec_id != v.vec_id
+  WHERE q.vec_id < {n_queries}
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {_COS} AS cos
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.query_id
+  JOIN embeddings b ON b.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {k}
+"""
