@@ -296,3 +296,36 @@ def test_stream_windowed_mention_counts_watermark(spark, tmp_path):
         for r in spark.read.parquet(outdir).collect()
     }
     assert got2[(t0 + dt.timedelta(minutes=60), "Gene")] == 1
+
+
+# ---- S1/S2 executor-parallel fetch shape ----------------------------------
+
+
+def test_fetch_documents_and_accounting(spark):
+    """S1/S2: fetch via an injected transport on executors, hit/miss/
+    empty accounting as a grouped agg (download_data.py:77-109). The
+    transport here is a deterministic fake; the engine never hardcodes
+    a network dependency."""
+    from renet2_spark.sources import fetch as fx
+
+    def fake_transport(doc_id: str):
+        n = int(doc_id)
+        if n % 5 == 0:
+            raise IOError("simulated network failure")
+        if n % 5 == 1:
+            return fx.STATUS_EMPTY, ""
+        return fx.STATUS_HIT, f"{doc_id}|t|title of {doc_id}"
+
+    ids = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    fetched = fx.fetch_documents(ids, fake_transport, partitions=4)
+    acc = {r["status"]: r["n"] for r in fx.fetch_accounting(fetched).collect()}
+    assert acc == {"hit": 30, "empty": 10, "miss": 10}
+    # hits carry parseable bodies; composes with the PubTator parser
+    from renet2_spark.sources.pubtator import parse_pubtator
+
+    docs, _anns = parse_pubtator(
+        fetched.filter(F.col("status") == "hit").select(
+            F.col("body").alias("value")
+        )
+    )
+    assert docs.count() == 30
