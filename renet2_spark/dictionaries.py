@@ -154,8 +154,8 @@ def entity_dict_fused_df(spark: SparkSession) -> DataFrame:
     """(surface, type, entity_id) with canonicalization, MeSH validity
     and joint-tag fusion PRE-FOLDED into the dimension: a surface
     carrying both a gene and a disease id becomes ONE 'Gene-Disease'
-    row with composite id 'g>-<d' (reference make_tags fusion,
-    sequence_utils.py:17-26), invalid C-prefix diseases are excluded
+    row with composite id 'd>-<g' (disease first — reference make_tags
+    fusion, sequence_utils.py:17-26), invalid C-prefix diseases are excluded
     (mesh_match.py:9-14), ids are canonical (parse_ann_id).
 
     For a token-granularity tagger this is EXACTLY equivalent to
@@ -172,7 +172,7 @@ def entity_dict_fused_df(spark: SparkSession) -> DataFrame:
         if not (d.startswith("D") or d in MESH_C2D_VALID):
             continue
         if s in rows:
-            rows[s] = ("Gene-Disease", f"{rows[s][1]}>-<{d}")
+            rows[s] = ("Gene-Disease", f"{d}>-<{rows[s][1]}")
         else:
             rows[s] = ("Disease", d)
     return spark.createDataFrame(

@@ -8,6 +8,8 @@ the same scan as dedup — no extra pass.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -20,6 +22,16 @@ def _words() -> Column:
     return F.split(F.col("text"), " ")
 
 
+def _stop_hits(ws: Column) -> Column:
+    """Count of stopword tokens WITHOUT a filter() HOF lambda (those
+    evaluate interpreted — round-2 verdict #4): size(ws) minus the size
+    after removing each stopword with codegen'd array_remove."""
+    kept = ws
+    for s in STOPWORDS:
+        kept = F.array_remove(kept, s)
+    return F.size(ws) - F.size(kept)
+
+
 def text_stats(documents: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, n_chars, avg_token_len, stopword_ratio,
     quality_score). quality = min(1, n_tokens/100) * (1 - stopword_ratio)
@@ -27,9 +39,7 @@ def text_stats(documents: DataFrame) -> DataFrame:
     ws = _words()
     n_tok = F.size(ws)
     n_chars = F.length("text")
-    stop = F.size(
-        F.filter(ws, lambda w: w.isin(*STOPWORDS))
-    )
+    stop = _stop_hits(ws)
     avg_len = F.round(
         (n_chars - (n_tok - 1)).cast("double") / n_tok.cast("double"), 5
     )
@@ -56,7 +66,7 @@ def lang_id(documents: DataFrame) -> DataFrame:
     tokens. (The real corpus analogue scores per-language character
     n-gram tables; plumbing is identical.)"""
     ws = _words()
-    hits = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    hits = _stop_hits(ws)
     pred = F.when(hits > 0, F.lit("en")).otherwise(F.lit("und"))
     conf = F.round(hits.cast("double") / F.size(ws).cast("double"), 5)
     return documents.select(
@@ -69,17 +79,20 @@ def lang_id(documents: DataFrame) -> DataFrame:
 
 def token_counts(documents: DataFrame) -> DataFrame:
     """(doc_id, ws_tokens, subword_tokens) — whitespace count plus a
-    BPE-ish upper bound: ceil(len(word)/4) subword units per word."""
+    BPE-ish upper bound: ceil(len(word)/4) subword units per word.
+
+    subword counting is a single codegen'd regexp_count: greedy
+    non-overlapping matches of [^ ]{1,4} split every space-delimited
+    word of length L into exactly ceil(L/4) chunks — identical value to
+    the per-word aggregate, without the interpreted HOF lambda the old
+    version paid per row (round-2 verdict #4)."""
     ws = _words()
-    sub = F.aggregate(
-        ws,
-        F.lit(0).cast("int"),
-        lambda a, w: a + F.ceil(F.length(w) / F.lit(4.0)).cast("int"),
-    )
     return documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.size(ws).cast("int").alias("ws_tokens"),
-        sub.alias("subword_tokens"),
+        F.regexp_count("text", F.lit("[^ ]{1,4}")).cast("int").alias(
+            "subword_tokens"
+        ),
     )
 
 
@@ -87,18 +100,27 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     """(doc_id, fp, text_md5) — order-sensitive rolling polynomial hash
     over words (h = h*31 + (ascii(first)*100 + len)) mod 1e9+7, plus
     content md5. Rolling fp detects reordered-content docs that md5
-    treats as distinct."""
-    ws = _words()
-    word_val = lambda w: (
-        F.ascii(F.substring(w, 1, 1)) * F.lit(100) + F.length(w)
-    ).cast("long")
-    fp = F.aggregate(
-        ws,
-        F.lit(0).cast("long"),
-        lambda a, w: (a * F.lit(FP_BASE) + word_val(w)) % F.lit(FP_MOD),
-    )
+    treats as distinct.
+
+    The Horner fold is inherently sequential per doc, so it runs as an
+    Arrow-batched pandas UDF (round-2 verdict #4: the previous
+    formulation was an interpreted `aggregate` HOF lambda, the slowest
+    class Spark offers). int64 never overflows: h < 1e9+7, so
+    h*31 + val < 2^63. Embarrassingly parallel across docs."""
+    mod, base = FP_MOD, FP_BASE
+
+    @F.pandas_udf("long")
+    def _fp(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            h = 0
+            for w in t.split(" "):
+                h = (h * base + (ord(w[0]) if w else 0) * 100 + len(w)) % mod
+            out[i] = h
+        return pd.Series(out)
+
     return documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        fp.alias("fp"),
+        _fp("text").alias("fp"),
         F.md5("text").alias("text_md5"),
     )

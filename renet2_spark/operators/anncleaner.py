@@ -4,8 +4,11 @@ Reference semantics:
 * make_tags overlap handling (src/renet2/utils/sequence_utils.py:2-80):
   annotations sorted by (start, end); two anns with identical
   (sent, start, end, mention) but different types fuse into a
-  composite Gene-Disease tag with id 'g>-<d' (lines 17-26, gene id
-  first); an ann overlapping the previous tag (start <= prev end)
+  composite Gene-Disease tag with id 'd>-<g' (lines 17-26, DISEASE id
+  first: when the current tag is a Gene the reference prepends last_Id
+  — the disease — and when it is a Disease it prepends the current Id,
+  so both orders emit disease-first, cf. word_index entries like
+  '<D006432>-<3077>'); an ann overlapping the previous tag (start <= prev end)
   REPLACES it with a merged span [prev.start, new.end] carrying the
   NEW tag's identity, and the running end becomes the new tag's end
   (lines 42-80).
@@ -33,8 +36,9 @@ JOINT_SEP = ">-<"  # reference sequence_utils.py:22-25 composite id
 def fuse_joint_tags(mentions: DataFrame) -> DataFrame:
     """Same (doc, sent_no, start, end, mention) with BOTH a Gene and a
     Disease annotation -> one composite mention of type 'Gene-Disease'
-    with entity_id 'gene>-<disease' (reference sequence_utils.py:17-26;
-    gene id first). Works on span-bearing mentions (start/end char
+    with entity_id 'disease>-<gene' (reference sequence_utils.py:17-26;
+    disease id first, matching the reference's composite order — round-2
+    advice fix). Works on span-bearing mentions (start/end char
     offsets) and on the token-coordinate fast-tagger output (keys fall
     back to tok_no when start/end are absent — same granularity, the
     fast tagger emits one mention per token)."""
@@ -58,7 +62,7 @@ def fuse_joint_tags(mentions: DataFrame) -> DataFrame:
         .alias("type"),
         F.when(
             F.col("g").isNotNull() & F.col("d").isNotNull(),
-            F.concat(F.col("g"), F.lit(JOINT_SEP), F.col("d")),
+            F.concat(F.col("d"), F.lit(JOINT_SEP), F.col("g")),
         )
         .when(F.col("g").isNotNull(), F.col("g"))
         .otherwise(F.col("d"))

@@ -106,8 +106,17 @@ def ivf_centroids(
         .select("embedding")
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "ivf_centroids: no rows with vec_id < "
+            f"{sample_ids} — cannot seed centroids from an empty sample"
+        )
     x = np.array([r["embedding"] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    if len(x) < n_centroids:
+        # fewer sample vectors than requested centroids: clamp rather
+        # than silently emitting a short matrix callers don't expect
+        n_centroids = len(x)
     c = x[:n_centroids].copy()
     for _ in range(n_iters):
         assign = (x @ c.T).argmax(axis=1)
@@ -194,13 +203,26 @@ def ann_topk_lsh(
     **lsh_kw,
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing any LSH bucket
-    with the query, re-ranked by exact cosine."""
+    with the query, re-ranked by exact cosine. The CORPUS side of the
+    bucket join is capped at max_bucket_size members per (table,
+    bucket) (dedup.cap_hot_buckets — lowest vec_id kept, mirrored in
+    the oracle), bounding a hot bucket's candidate fan-out at
+    O(n_queries * cap) instead of O(n_queries * N); the query side is
+    never capped, so every query still probes."""
+    from .dedup import MAX_LSH_BUCKET, cap_hot_buckets
+
+    max_bucket_size = lsh_kw.pop("max_bucket_size", MAX_LSH_BUCKET)
     buckets = lsh_buckets(embeddings, **lsh_kw)
     qb = buckets.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "table", "bucket"
     )
+    cb = (
+        cap_hot_buckets(buckets, ["table", "bucket"], "vec_id", max_bucket_size)
+        if max_bucket_size is not None
+        else buckets
+    )
     cand = (
-        qb.join(buckets, ["table", "bucket"])
+        qb.join(cb, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()

@@ -25,7 +25,7 @@ from .dictionaries import (
     GENE_RAW,
     MULTIWORD_DISEASE,
 )
-from .operators.dedup import MAX_SHINGLE_DF
+from .operators.dedup import MAX_LSH_BUCKET, MAX_SHINGLE_DF
 from .operators.scorer import BIAS, CUTOFF, MODEL_STEP, N_MODELS, W_CNT, W_COOC
 
 
@@ -229,7 +229,7 @@ fused AS (
   SELECT doc_id, sent_no, tok_no, start, "end", mention,
          CASE WHEN g IS NOT NULL AND d IS NOT NULL THEN 'Gene-Disease'
               WHEN g IS NOT NULL THEN 'Gene' ELSE 'Disease' END AS type,
-         CASE WHEN g IS NOT NULL AND d IS NOT NULL THEN g || '>-<' || d
+         CASE WHEN g IS NOT NULL AND d IS NOT NULL THEN d || '>-<' || g
               WHEN g IS NOT NULL THEN g ELSE d END AS entity_id
   FROM (SELECT doc_id, sent_no, tok_no, start, "end", mention,
                max(CASE WHEN type = 'Gene' THEN entity_id END) AS g,
@@ -623,7 +623,8 @@ FROM jpairs WHERE jaccard >= {threshold}
 """
 
 
-def q_dedup_minhash(threshold: float = 0.7, k: int = 12, bands: int = 4) -> str:
+def q_dedup_minhash(threshold: float = 0.7, k: int = 12, bands: int = 4,
+                    max_bucket: int = MAX_LSH_BUCKET) -> str:
     r = k // bands
     mh_cols = ", ".join(
         f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(k)
@@ -638,9 +639,15 @@ def q_dedup_minhash(threshold: float = 0.7, k: int = 12, bands: int = 4) -> str:
 WITH {_jaccard_cte(threshold)},
 sig AS (SELECT doc_id, {mh_cols} FROM shingles GROUP BY doc_id),
 keys AS ({band_rows}),
+ckeys AS (
+  SELECT doc_id, band, band_key FROM (
+    SELECT *, row_number() OVER (PARTITION BY band, band_key
+                                 ORDER BY doc_id) AS r
+    FROM keys) WHERE r <= {max_bucket}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM keys a JOIN keys b
+  FROM ckeys a JOIN ckeys b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b, j.jaccard
@@ -1075,16 +1082,24 @@ def _lsh_buckets_cte(n_planes: int, n_tables: int) -> str:
 
 
 def q_dedup_embedding_lsh(threshold: float = 0.9, n_planes: int = 4,
-                          n_tables: int = 8) -> str:
+                          n_tables: int = 8,
+                          max_bucket: int = MAX_LSH_BUCKET) -> str:
     """LSH-blocked embedding near-dup — EXACT oracle: the random
     hyperplanes are deterministic literals, so DuckDB reproduces
     candidate generation bit-for-bit (sign of the same IEEE dot
-    product) and the exact-cosine verify."""
+    product) and the exact-cosine verify. Bucket membership capped at
+    max_bucket like the engine (cap_hot_buckets)."""
     return f"""
 WITH {_lsh_buckets_cte(n_planes, n_tables)},
+cbuckets AS (
+  SELECT vec_id, tbl, bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY tbl, bucket
+                                 ORDER BY vec_id) AS r
+    FROM buckets) WHERE r <= {max_bucket}
+),
 cand AS (
   SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
-  FROM buckets x JOIN buckets y
+  FROM cbuckets x JOIN cbuckets y
     ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
 )
 SELECT c.va AS vec_a, c.vb AS vec_b, {_COS} AS cos
@@ -1096,15 +1111,24 @@ WHERE {_COS} >= {threshold}
 
 
 def q_ann_topk_lsh(k: int = 5, n_queries: int = 20, n_planes: int = 8,
-                   n_tables: int = 4) -> str:
+                   n_tables: int = 4,
+                   max_bucket: int = MAX_LSH_BUCKET) -> str:
     """Approximate top-k with LSH candidates — exact oracle (same
-    literal hyperplanes): candidates within shared buckets, exact
-    cosine re-rank, rank over the ROUNDED cosine like the Spark side."""
+    literal hyperplanes): candidates within shared buckets (corpus
+    side capped at max_bucket per bucket like the engine; query side
+    uncapped), exact cosine re-rank, rank over the ROUNDED cosine like
+    the Spark side."""
     return f"""
 WITH {_lsh_buckets_cte(n_planes, n_tables)},
+cbuckets AS (
+  SELECT vec_id, tbl, bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY tbl, bucket
+                                 ORDER BY vec_id) AS r
+    FROM buckets) WHERE r <= {max_bucket}
+),
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS neighbor_id
-  FROM buckets q JOIN buckets v
+  FROM buckets q JOIN cbuckets v
     ON q.tbl = v.tbl AND q.bucket = v.bucket AND q.vec_id != v.vec_id
   WHERE q.vec_id < {n_queries}
 ),

@@ -141,7 +141,7 @@ def test_fused_dict_equals_runtime_fusion(spark):
         if not (d.startswith("D") or d in MESH_C2D_VALID):
             continue
         if s in fused_rows:
-            fused_rows[s] = ("Gene-Disease", f"{fused_rows[s][1]}>-<{d}")
+            fused_rows[s] = ("Gene-Disease", f"{d}>-<{fused_rows[s][1]}")
         else:
             fused_rows[s] = ("Disease", d)
     fused_dict = spark.createDataFrame(

@@ -91,7 +91,9 @@ def test_fuse_joint_tags(spark):
         (r["start"], r["type"], r["entity_id"])
         for r in fuse_joint_tags(df).collect()
     }
-    assert got == {(0, "Gene-Disease", "g1>-<D1"), (10, "Gene", "g2")}
+    # disease-first composite order (reference make_tags: both branches
+    # of sequence_utils.py:20-24 put the Disease id before '>-<')
+    assert got == {(0, "Gene-Disease", "D1>-<g1"), (10, "Gene", "g2")}
 
 
 def test_merge_overlaps_extend_and_replace_chain(spark):
