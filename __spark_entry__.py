@@ -409,6 +409,24 @@ def q_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.build_edges(spark, _docs(spark, sf_dir))
 
 
+def q_edges_rawtext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-TEXT flagship: the corpus is rewritten as real punctuated
+    text (corpus.raw_text_twin: '!'-terminated sentences — an
+    unconditional cut in the reference splitter), and edges are built
+    through the FULL raw chain: split_sentences automaton ->
+    reference-parity tokenizer -> char-offset cursor scan -> broadcast
+    dict tagging -> mention-vs-text verify -> pairgen -> scoring. By
+    construction the raw chain must reconstruct the packed corpus's
+    sentence/token stream exactly, so the packed kg_edges oracle is an
+    EXACT oracle for this query (see raw_text_twin docstring)."""
+    from renet2_spark.corpus import raw_text_twin
+
+    _ship_pkg(spark)
+    return pipeline.build_edges(
+        spark, raw_text_twin(_docs(spark, sf_dir)), corpus="raw"
+    )
+
+
 def q_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.build_nodes(spark, _docs(spark, sf_dir))
 
@@ -439,6 +457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_scores": q_scores,
         "kg_scores_probx": q_scores_probx,
         "kg_edges": q_edges,
+        # raw-text variant: same edges via the punctuated-text chain
+        # (splitter + tokenizer + offsets + verify); exact oracle
+        "kg_edges_rawtext": q_edges_rawtext,
         "kg_nodes": q_nodes,
         # neural CNN+BiGRU ensemble variant (not SQL-expressible —
         # rows-only driver check; NumPy-oracle golden test in
@@ -515,6 +536,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_scores": oracles.q_scores(),
         "kg_scores_probx": oracles.q_scores_probx(),
         "kg_edges": oracles.q_edges(),
+        # the raw-text chain must reproduce the packed pipeline's edges
+        # bit-for-bit (raw_text_twin construction) -> same oracle
+        "kg_edges_rawtext": oracles.q_edges(),
         "kg_nodes": oracles.q_nodes(),
         "dedup_exact": oracles.q_dedup_exact(),
         "dedup_ngram_jaccard": oracles.q_dedup_ngram(),

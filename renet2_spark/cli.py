@@ -32,10 +32,14 @@ def cmd_predict(args) -> int:
     spark = _spark(args)
     docs = spark.read.parquet(args.input)
     cutoff = 1 if args.sensitive else CUTOFF  # predict.py:122-124
+    # corpus routing: default 'auto' probes the packed contract and
+    # falls back to the raw splitter/tokenizer chain — arbitrary user
+    # corpora never silently hit the arithmetic fast tagger
     if args.scorer == "neural":
-        edges = build_edges_neural(spark, docs, cutoff=cutoff)
+        edges = build_edges_neural(spark, docs, cutoff=cutoff,
+                                   corpus=args.corpus)
     else:
-        edges = build_edges(spark, docs, cutoff=cutoff)
+        edges = build_edges(spark, docs, cutoff=cutoff, corpus=args.corpus)
     out = edges.select(
         F.col("doc_id").alias("pmid"),
         F.col("gene_id").alias("geneId"),
@@ -55,6 +59,10 @@ def cmd_predict(args) -> int:
         out.write.mode("overwrite").parquet(args.output)
     n = out.count()
     out.unpersist()
+    if args.scorer == "neural":
+        from .plans.pipeline import release_pipeline_caches
+
+        release_pipeline_caches()
     print(f"wrote {n} GDA triples to {args.output}")
     return 0
 
@@ -122,6 +130,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--format", choices=["tsv", "parquet"], default="parquet")
     sp.add_argument("--sensitive", action="store_true",
                     help="vote cutoff 1 instead of N//2 (predict.py:122-124)")
+    sp.add_argument("--corpus", choices=["auto", "packed", "raw"],
+                    default="auto",
+                    help="sentence derivation: packed contract, raw "
+                         "splitter/tokenizer chain, or probe (default)")
     sp.set_defaults(fn=cmd_predict)
 
     sp = sub.add_parser(

@@ -173,6 +173,37 @@ def media_from_spans(docs_spans: DataFrame) -> DataFrame:
     )
 
 
+def raw_text_twin(documents: DataFrame) -> DataFrame:
+    """Deterministic RAW-TEXT twin of the packed corpus: every derived
+    SENT_WORDS-word sentence is emitted with a sentence-final '!' and
+    single spaces between sentences — real punctuated text that the
+    packed contract probe rejects, forcing the full raw chain
+    (split_sentences -> tokenize -> offsets -> tag -> verify).
+
+    Why '!': it is an UNCONDITIONAL sentence cut in the reference
+    splitter when followed by a space (raw.py:462-464 — no abbreviation
+    guard, no case lookahead) and a standalone token in the tokenizer,
+    and it never changes any word token. So a CORRECT raw path must
+    reconstruct exactly the packed corpus's sentence/token stream (the
+    '!' token matches no dictionary surface), making the packed
+    kg_edges oracle an EXACT oracle for the raw pipeline — this is how
+    the driver contract hash-checks the raw chain end-to-end
+    (kg_edges_raw)."""
+    words = F.split(F.col("text"), " ")
+    n_sent = F.ceil(F.size(words) / F.lit(SENT_WORDS)).cast("int")
+    sent = F.transform(
+        F.sequence(F.lit(0), n_sent - 1),
+        lambda s: F.concat(
+            F.array_join(F.slice(words, s * SENT_WORDS + 1, SENT_WORDS), " "),
+            F.lit("!"),
+        ),
+    )
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array_join(sent, " ").alias("text"),
+    )
+
+
 def load_documents(spark, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 

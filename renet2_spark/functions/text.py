@@ -305,12 +305,45 @@ def split_sentences_udf(col: str = "text"):
     return _split(F.col(col))
 
 
+_RAW_SENT_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("sentence", T.StringType()),
+            T.StructField("offset", T.IntegerType()),
+        ]
+    )
+)
+
+
 def sentences_from_raw_text(documents: DataFrame) -> DataFrame:
-    """documents(doc_id, text) -> (doc_id, sent_no, sentence) for raw
-    (punctuated) text via the splitter UDF — the ingest-time analogue
-    of corpus.sentences_direct (which handles the pre-normalized
-    synthetic corpus natively)."""
-    return documents.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.posexplode(split_sentences_udf()).alias("sent_no", "sentence"),
+    """documents(doc_id, text) -> (doc_id, sent_no, sentence, offset)
+    for raw (punctuated) text via the splitter UDF — the ingest-time
+    analogue of corpus.sentences_direct (which handles the
+    pre-normalized synthetic corpus natively). split_sentences
+    partitions the text into exact substrings, so each sentence's char
+    offset into the original text is the running sum of lengths —
+    computed inside the same Arrow batch, no extra pass."""
+
+    @F.pandas_udf(_RAW_SENT_SCHEMA)
+    def _split(s: pd.Series) -> pd.Series:
+        def run(t: str):
+            out, pos = [], 0
+            for snt in split_sentences(t or ""):
+                out.append((snt, pos))
+                pos += len(snt)
+            return out
+
+        return s.map(run)
+
+    return (
+        documents.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.posexplode(_split(F.col("text"))).alias("sent_no", "_s"),
+        )
+        .select(
+            "doc_id",
+            "sent_no",
+            F.col("_s.sentence").alias("sentence"),
+            F.col("_s.offset").alias("offset"),
+        )
     )

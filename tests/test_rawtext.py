@@ -1,0 +1,199 @@
+"""Raw-text pipeline: corpus-contract probe, raw tagger offsets, CLI
+routing on variable-sentence-length corpora (round-2 verdict #1), and
+cache hygiene (#8)."""
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from renet2_spark.corpus import load_documents, raw_text_twin
+from renet2_spark.plans import pipeline
+from tests.conftest import SF_SMOKE
+
+# variable-sentence-length punctuated fixture: punctuation is
+# space-separated so the general whitespace tagger and the raw
+# tokenizer see the SAME token stream — any mention mismatch is then
+# purely a sentence-coordination bug. Sentence lengths vary (4/9/3 and
+# 6/4/2 tokens), so the arithmetic 10-words/sentence tagger must
+# mis-coordinate. Doc 1's (scan, slow) pair co-occurs in 3 sentences
+# with 3+3 mentions -> clears the default vote cutoff, so the CLI
+# emits at least one edge. Surfaces are from the tagger dictionary
+# (genes scan/merge, diseases slow/big/stream).
+_VAR_DOCS = [
+    ("1", "scan causes slow ! the scan gene hits slow and big now ? scan slow !"),
+    ("2", "slow and scan drive big ! merge hits stream ! scan !"),
+]
+# hand-derived STRIPPED sentences (doc_id, sent_no, sentence, offset):
+# the reference splitter cuts unconditionally at '!'/'?'+space and
+# keeps the leading space on following sentences; the tokenizer strips
+# it, so token streams (and tok_no) align with these stripped strings,
+# whose offsets point at the first non-space char.
+_VAR_SENTS = [
+    ("1", 0, "scan causes slow !", 0),
+    ("1", 1, "the scan gene hits slow and big now ?", 19),
+    ("1", 2, "scan slow !", 57),
+    ("2", 0, "slow and scan drive big !", 0),
+    ("2", 1, "merge hits stream !", 26),
+    ("2", 2, "scan !", 46),
+]
+
+
+def _var_df(spark):
+    return spark.createDataFrame(_VAR_DOCS, "doc_id string, text string")
+
+
+def test_probe_contract(spark):
+    docs = load_documents(spark, SF_SMOKE)
+    assert pipeline.probe_corpus_contract(docs) is True
+    assert pipeline.probe_corpus_contract(raw_text_twin(docs)) is False
+    assert pipeline.probe_corpus_contract(_var_df(spark)) is False
+
+
+def test_raw_edges_match_packed_on_twin_corpus(spark):
+    """The raw chain (splitter -> tokenizer -> offsets -> tag ->
+    verify) must reconstruct the packed corpus's edges exactly on the
+    '!'-twin corpus — this is the invariant the kg_edges_rawtext driver
+    query hash-checks against the packed oracle."""
+    docs = load_documents(spark, SF_SMOKE)
+    a = sorted(map(tuple, pipeline.build_edges(spark, docs).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pipeline.build_edges(
+                spark, raw_text_twin(docs), corpus="raw"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_raw_mentions_match_general_tagger_on_variable_corpus(spark):
+    """On a variable-sentence-length corpus the auto-routed mentions
+    must equal the general tagger run over hand-derived sentences —
+    and the arithmetic fast tagger must NOT (proving the guard is
+    load-bearing)."""
+    from renet2_spark.operators.anncleaner import fuse_joint_tags
+    from renet2_spark.operators.normalize import canonicalize_mentions
+    from renet2_spark.operators.tagger import tag_mentions
+
+    docs = _var_df(spark)
+    sents = spark.createDataFrame(
+        _VAR_SENTS, "doc_id string, sent_no int, sentence string, offset int"
+    )
+    cols = ["doc_id", "sent_no", "tok_no", "mention", "type", "entity_id"]
+    expected = {
+        tuple(r)
+        for r in fuse_joint_tags(
+            canonicalize_mentions(tag_mentions(sents, spark))
+        )
+        .select(*cols)
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in pipeline.build_mentions(spark, docs, corpus="auto")
+        .select(*cols)
+        .collect()
+    }
+    assert got == expected and len(got) > 0
+    fast = {
+        tuple(r)
+        for r in pipeline.build_mentions(spark, docs, corpus="packed")
+        .select(*cols)
+        .collect()
+    }
+    assert fast != expected  # the contract violation the probe catches
+
+
+def test_raw_tagger_offsets_are_real(spark):
+    """tag_mentions_raw offsets must index the ORIGINAL raw text
+    (verify=True keeps only substring-exact mentions; assert they all
+    survive AND spot-check a known position)."""
+    from renet2_spark.operators.tagger import tag_mentions_raw
+
+    docs = _var_df(spark)
+    m = tag_mentions_raw(docs, spark, verify=False)
+    v = tag_mentions_raw(docs, spark, verify=True)
+    assert m.count() == v.count() > 0
+    texts = dict(_VAR_DOCS)
+    for r in v.collect():
+        t = texts[r["doc_id"]]
+        assert t[r["start"] : r["end"]] == r["mention"]
+    # first 'slow' in doc 1 (sentence 0) spans chars [12, 16)
+    row = [
+        r
+        for r in v.collect()
+        if r["doc_id"] == "1" and r["mention"] == "slow" and r["sent_no"] == 0
+    ][0]
+    assert (row["start"], row["end"]) == (12, 16)
+
+
+def test_cli_predict_routes_raw_on_variable_corpus(spark):
+    """CLI predict (default --corpus auto) on a punctuated
+    variable-length corpus must produce the general tagger's edges
+    (round-2 verdict #1: the CLI used to silently mis-coordinate)."""
+    from renet2_spark.cli import main
+    from renet2_spark.operators.anncleaner import fuse_joint_tags
+    from renet2_spark.operators.normalize import canonicalize_mentions
+    from renet2_spark.operators.pairgen import entity_info, sentence_pair_candidates
+    from renet2_spark.operators.scorer import CUTOFF, score_and_vote
+    from renet2_spark.operators.tagger import tag_mentions
+
+    d = tempfile.mkdtemp(prefix="cli_raw_")
+    _var_df(spark).write.parquet(d + "/docs")
+    assert main(["predict", "--input", d + "/docs", "--output", d + "/out"]) == 0
+    got = {
+        (r["pmid"], r["geneId"], r["diseaseId"], r["g_name"], r["d_name"],
+         float(r["prob_avg"]))
+        for r in spark.read.parquet(d + "/out").collect()
+    }
+    # expected edges: general tagger over hand-derived sentences,
+    # through the same downstream operator chain as build_edges
+    sents = spark.createDataFrame(
+        _VAR_SENTS, "doc_id string, sent_no int, sentence string, offset int"
+    )
+    mentions = fuse_joint_tags(
+        canonicalize_mentions(tag_mentions(sents, spark))
+    )
+    pairs = sentence_pair_candidates(mentions)
+    info = entity_info(mentions)
+    g = info.filter(F.col("type") == "Gene").select(
+        "doc_id",
+        F.col("entity_id").alias("gene_id"),
+        F.col("n_mentions").alias("n_g"),
+        F.col("name").alias("g_name"),
+    )
+    dd = info.filter(F.col("type") != "Gene").select(
+        "doc_id",
+        F.col("entity_id").alias("disease_id"),
+        F.col("n_mentions").alias("n_d"),
+        F.col("name").alias("d_name"),
+    )
+    voted = score_and_vote(
+        pairs.join(g, ["doc_id", "gene_id"]).join(dd, ["doc_id", "disease_id"]),
+        cutoff=CUTOFF,
+    )
+    expected = {
+        (r["doc_id"], r["gene_id"], r["disease_id"], r["g_name"], r["d_name"],
+         float(r["prob_avg"]))
+        for r in voted.collect()
+    }
+    assert got == expected and len(got) > 0
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_no_leaked_caches_after_pipeline_queries(spark):
+    """Round-2 verdict #8: driver queries must not leak persisted RDDs.
+    build_nodes no longer persists; build_edges_neural's caches are
+    released by release_pipeline_caches (and rotated per call)."""
+    docs = load_documents(spark, SF_SMOKE)
+    # drop any generation left by earlier tests before snapshotting
+    pipeline.release_pipeline_caches()
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+    pipeline.build_nodes(spark, docs).collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
+    pipeline.build_edges_neural(spark, docs).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > base
+    pipeline.release_pipeline_caches()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
