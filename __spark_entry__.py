@@ -481,9 +481,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_topk_brute": lambda s, d: sim.ann_topk_brute(_emb(s, d)),
         "ann_topk_lsh": lambda s, d: sim.ann_topk_lsh(_emb(s, d)),
-        # IVF scale path (approximate -> rows-only; recall vs brute
-        # asserted in tests/test_similarity.py); needs the package on
-        # executor python workers (pandas UDF closure)
+        # IVF scale path — EXACT oracle (frozen deterministic centroids,
+        # see oracle_sql); recall vs brute also asserted in
+        # tests/test_similarity.py; needs the package on executor
+        # python workers (pandas UDF closure)
         "ann_topk_ivf": lambda s, d: (_ship_pkg(s), sim.ann_topk_ivf(_emb(s, d)))[1],
         # text analysis
         "text_stats": lambda s, d: ts.text_stats(_docs(s, d)),
@@ -548,6 +549,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": oracles.q_dedup_embedding(),
         "dedup_survivors": oracles.q_dedup_survivors(),
         "ann_topk_brute": oracles.q_ann_topk(),
+        # IVF has an exact oracle at the driver's correctness scale:
+        # the trained centroids are deterministic constants of the
+        # sf0.01 corpus, frozen as literals (drift-guarded in pytest)
+        "ann_topk_ivf": oracles.q_ann_topk_ivf(),
         # LSH queries have EXACT oracles: the hyperplanes are
         # deterministic literals both engines share
         "dedup_embedding_lsh": oracles.q_dedup_embedding_lsh(),

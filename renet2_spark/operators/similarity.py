@@ -138,9 +138,13 @@ def _ivf_probe_udf(centroids: np.ndarray, nprobe: int):
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe(emb: pd.Series) -> pd.Series:
         x = np.array(emb.tolist(), dtype=np.float64)
-        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        # no query normalization: argsort of x.c is scale-invariant,
+        # and skipping the divide keeps the dot bit-comparable with
+        # the DuckDB oracle's list_dot_product(embedding, centroid)
         sims = x @ c.T
-        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        # stable sort pins dot ties to ascending centroid id — the
+        # same tie rule the DuckDB oracle's row_number uses
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype(int).tolist() for row in top])
 
     return probe

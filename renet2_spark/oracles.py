@@ -1146,3 +1146,74 @@ ranked AS (
 )
 SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {k}
 """
+
+
+# Frozen IVF centroids for the sf0.01 embeddings table (the driver's
+# correctness scale): ivf_centroids() is deterministic (bounded sorted
+# sample, fixed init, 5 Lloyd iterations), so the trained matrix is a
+# CONSTANT of the corpus and can be inlined — the same way the LSH
+# hyperplanes are shared literals. Guarded against drift by
+# tests/test_similarity.py::test_frozen_ivf_centroids_match_sf001.
+_IVF_CENTROIDS_SF001 = [
+    [-0.007723720910014028, 0.030316361277101307, 0.15876043946622254, -0.3102930848274065, 0.02447761763651732, -0.061416192684850705, -0.07701195032945563, 0.028758012158026362, 0.17118226635865402, -0.059452425390511134, -0.06308903687881923, 0.04863470423614403, -0.08968379039695805, -0.0741006253958901, -0.11132699239231651, -0.0008848777053913053, 0.2168189343541623, 0.1581299044045863, 0.09067499742358076, 0.12488456900851967, -0.21223471076437866, 0.1005655002046439, -0.05517554788436017, -0.06881286401138781, -0.0009927265342245424, 0.24479357865275458, 0.3150226076107284, -0.018483691169834792, -0.04632467795114074, 0.23035330335427573, -0.14281880075329734, 0.19588135780466195, 0.0020352161167717943, -0.1121936176567542, 0.03687260808774761, -0.18415549751494095, -0.05635841283816232, 0.10860551917080441, 0.08722633815442, 0.006596521570608241, 0.04987380250958018, -0.017284347089034376, 0.036569317295448815, 0.046072590383409835, 0.05707089790432257, 0.1550086623200095, 0.1000853369923706, -0.12443898494007566, -0.0037925381789723814, -0.126558633930883, 0.003199659904460525, 0.11612348944944119, 0.015533031103430281, -0.18101618762359983, 0.07046682442321874, 0.0887342257521821, -0.014539284239491308, 0.0089706635391104, -0.30896913079490085, -0.06832437280545572, -0.06808499092143538, 0.1521636748561928, 0.15311609850103822, -0.11176625458266384],
+    [-0.051833849142748994, -0.016803992194068147, 0.036562942433881286, 0.022257302869791135, 0.04166875422076566, 0.1457453643392542, -0.310902860911376, -0.07576349046764598, -0.016335160272718665, -0.020567678764328134, -0.18951286705014897, 0.16020913365428405, 0.22807860746026737, -0.31524817585064385, 0.11400416343472201, -0.037845871428407556, -0.044780939558030024, -0.06962066159468078, 0.14109188812811135, -0.14754856068415734, 0.1099189800425658, 0.06413477912934601, -0.026534552984835407, -0.09121333425104793, 0.1544626172401697, 0.24383797921545017, -0.029300249631032678, -0.07973659377344466, 0.027003014198144614, 0.023237358099697975, -0.05626160593087527, 0.013884604003506062, 0.03157737876083117, 0.008634371729878099, -0.0034136167691869355, 0.011177397799180852, -0.18236161099765918, 0.07080360582625436, 0.08392588419324694, -0.2985497307647099, 0.01180984984483689, -0.15607782483013477, 0.08348909072284112, 0.03705174220918545, 0.07916583454538173, 0.06784949069449767, -0.12661402988224796, -0.04006630504222734, -0.17608551780155482, -0.3417343846402567, -0.10780419586496563, 0.030541828347003197, -0.09794698483472812, 0.019107637995588157, -0.06541765881677492, 0.1300143701004347, 0.18225795699301311, -0.006150907084107709, 0.12979062925012638, 0.0527017740787896, -0.04261572751583849, -0.02803551633548211, -0.16949658440413412, -0.010530260819743554],
+    [-0.0046051984048561066, 0.05932380099849967, -0.16190059931891024, 0.14984030899049233, 0.15050052762083307, -0.006455428105155637, -0.004579477904806723, 0.017424235951928935, 0.013264110879563773, -0.2992979199565666, -0.06287525680259712, -0.11470743212904533, -0.20015998973409369, 0.2749150214663297, -0.03307765264478385, 0.025159717943274856, -0.07476927156277106, 0.11819930614864442, -0.027251904411999293, -0.06869297727608857, 0.01904953206078262, 0.09757452286152063, 0.2747081482520301, -0.10651362616807489, -0.020200390988704128, -0.20215378960714395, 0.01002855572293628, -0.06736234385976825, -0.008693121935477971, 0.025101866117223474, -0.05748829598974574, -0.4016476346246347, -0.007783720385016089, 0.025269237920769825, 0.04011035850930058, -0.04700675971669931, 0.05756817735634469, 0.24985026520401193, 0.14645690111770443, 0.17948096536079344, 0.01237859964313533, -0.042632914871276455, 0.019743682928040067, 0.04003488355972219, 0.0010958914508276151, -0.013130718625419733, -0.03724035750761761, -0.015705190196897888, 0.14952070654834967, 0.11037993388222647, 0.15474824151887268, -0.20393382005617408, -0.03455001345173851, -0.13597531848388636, 0.18246773449023146, -0.02074266985381811, 0.044285630246127396, -0.03193227939661664, 0.0735568300235503, 0.20638599385017514, 0.14597047114005202, 0.023389279249734277, 0.10613857122369301, -0.017383806917640642],
+    [-0.09155143984195449, -0.002511962302063983, -0.08936045794635131, -0.08879579305153405, -0.12457825566940915, 0.04850525059313607, 0.12062351577530243, 0.055529297836513995, -0.025831924876729192, -0.012204524367309715, 0.024878037854361705, 0.17535330742792354, 0.07430644231121694, 0.3139013391033048, 0.12027036948238061, 0.008465848229613496, -0.13056118744726872, -0.20425365244486318, 0.013769379317673148, 0.07962366713460661, 0.03793186945238853, -0.022010459434781336, -0.04265379862861496, 0.07963779036961202, -0.029097172281676912, 0.11755453550259976, -0.077282502950901, -0.02009072509042585, -0.23432833842239162, -0.10299801589427897, -0.08030486743207707, 0.018372517511065594, 0.271388526454261, -0.05162158363537957, 0.09628408617741849, -0.046626818410327175, 0.08344311804754279, -0.16125758619615926, -0.18995249216230708, -0.12054443720715839, -0.03777244854185974, -0.15031207454857048, -0.3339893004056656, -0.13197650032573088, 0.03703840102369148, 0.00503762120197013, -0.07799329393899336, -0.15716113638799595, 0.20813125617091865, -0.15508278039065296, 0.10962101233484672, -0.05761341476230107, 0.06600859779946677, 0.09629961638077929, -0.15608392588103928, -0.09655383615897266, -0.02700495223312221, -0.0395721937756844, 0.14586692853974467, -0.18077253567936455, 0.13070140504509584, 0.08064055241366101, -0.02931798423231202, -0.2313178644963435],
+    [0.08273557024651895, 0.0005337271623664747, 0.2737935728649479, -0.0631873721714755, -0.13639061318871737, -0.2834997182676381, 0.1398557772839182, -0.05544418906593649, -0.029685027513833305, 0.16879122682127146, 0.0785178121565209, -0.26699181047038495, 0.07255874622249939, -0.10525579625120911, 0.08671600851232335, -0.06638139100534313, 0.1731078336862474, 0.07711521952798962, 0.07834717545974272, 0.12516465793868126, -0.04729302746038558, 0.04462541585455897, -0.08126175008324975, 0.06328043447802034, -0.11677936311489888, 0.030588985599344195, 0.042557837565065586, 0.03286064698854552, 0.09420810528565343, -0.18265130268629517, 0.14890267211933553, -0.11992919033380302, 0.04899339810196596, 0.05878809921793349, 0.13611872613471682, -0.23778421874721165, 0.057551673641292884, -0.33778896708936684, -0.10678571341477894, 0.07263695394506807, 0.06541945983749312, 0.04298257959265808, -0.012185810151640534, 0.04908908617885934, -0.10952418833444418, -0.05846105227915549, -0.11378255066381192, 0.14390098852706168, -0.08279333615355104, -0.006417818935261132, -0.0010490582332139456, -0.005825194925636477, 0.10062403774645128, 0.02237467517140789, 0.32775979964983337, -0.10798279030620203, 0.001093681509349, -0.01007662715074563, 0.09891977083052073, 0.008352670729381317, -0.24702572021505637, -0.08364488664188499, 0.02978358772491709, -0.020309257318325155],
+    [-0.08441947239527371, -0.0420433130875447, 0.07281756465802683, 0.029326368820609107, 0.2467769157822163, -0.03163447668828054, -0.2076770848094848, 0.3049455940918301, -0.10362545633309127, 0.045852103338422955, 0.07995272927730024, -0.025492523017061945, 0.05160676983591903, 0.06697827186823425, -0.09430400115304655, 0.050019750172196564, -0.0490949071376624, -0.17186850746652876, -0.10406230309092797, 0.09710820977502634, 0.02051940624495816, -0.11383997926867012, 0.09193069187216579, -0.038408509077542966, 0.08294475936700935, 0.17150834759911043, -0.11676301906883697, 0.01642322427303059, 0.01501020771686394, 0.05872990086426541, 0.06670204697904289, -0.0488206398014827, -0.0012520492005362715, -0.007102668646099647, -0.06887014731253087, 0.17834071805731389, 0.012373452114194688, 0.22557867240015855, -0.06916511225165063, 0.09818660342860755, -0.16769191002546097, 0.1546142357979063, 0.03138262823798296, 0.11317262711080073, -0.35300523978257037, -0.19450464930760614, 0.0542925821286355, -0.0965964417140938, -0.07129819535327883, 0.10584142873904752, 0.15801009626874388, 0.10551207076519035, 0.029051081041828644, 0.10379876453634838, -0.14817757465055495, -0.29219421608702917, 0.17854963076464025, -0.18965696559896272, -0.019710405772607263, -0.037356331028608365, -0.010798635133701589, 0.10772834143525746, -0.0946306108104324, 0.0895499679592787],
+    [-0.05872664148236497, -0.1872102614438296, -0.028094453210236743, -0.02720857096429867, 0.17953274959096235, 0.26239495955825726, -0.10927041274477862, -0.17684531254891825, 0.05778432346768876, 0.1766482049365235, 0.21569240596624495, 0.07179759715224898, -0.011167704025450574, 0.15373861355869847, -0.010956748547751116, 0.13747369531914203, 0.09624245266143855, 0.2181114805551964, -0.22632440709662752, -0.15993367680662465, -0.008712849786154728, -0.05790936973490765, -0.012391011317740907, -0.2232330315524672, -0.13876967138462368, -0.033706178185595986, -0.027130438752861728, 0.184422069507424, 0.09324924912767692, -0.1634105378105306, 0.036228296165969946, 0.014842549937878589, -0.0075701684261893975, -0.1926956436327324, -0.08213087509742627, 0.198802816180552, 0.06463299166803248, -0.07363388837107078, -0.021171807230835376, -0.011894131712553737, 0.07981846326437166, -0.08798551869876695, 0.019409453591860287, -0.10433333035157574, 0.009361799456243585, 0.01817117516250445, 0.0984688330529896, 0.20490543956756324, 0.07641725970063049, 0.03486197414848676, -0.11633248190624575, -0.010231184546251064, 0.20054112462480328, -0.0034011381067151937, 0.0851683563137476, 0.1316700418778785, -0.2435207665912691, 0.1879446615059034, -0.026207712768693252, -0.1946264466267218, 0.07285241527107747, -0.02334380540912249, -0.009366262850376627, 0.10856406926312799],
+    [0.3027760333613583, 0.05886329993972213, -0.12797499021023456, 0.12086648417473583, -0.13758465874564096, 0.0942004270817584, -0.037911218631863614, 0.15905985212177715, -0.11747604572326352, -0.0617667791846433, 0.07340563464360121, 0.013264427025035623, -0.23381336500996897, -0.25531707605718695, -0.07026043008311568, 0.034455407294821695, -0.06397264162923993, 0.0747109781296544, 0.06911396571728994, 0.015025290055186423, -0.05958556893300173, -0.0027070317692249363, -0.02177190311469373, 0.16911934773646844, 5.7870665527979576e-05, -0.2054542831626902, -0.11215041601639339, 0.24002643968595697, 0.011201172032950799, 0.13829167195515255, 0.23309231507453623, 0.12800089072697746, -0.07942657544812606, 0.09138103132888648, 0.0386442832637635, 0.07057983763758131, -0.19156117330724212, -0.1519835797978104, 0.057590338625704236, 0.05896807170979752, -0.04257906463862124, -0.10440602515381357, 0.15328997717659146, -0.058480034496216735, -0.026571261363716, 0.1617809318534788, 0.0633228260714119, 0.24589089000271608, -0.1958344020744015, 0.05965189732181867, 0.09153548544934523, -0.041400543660741286, -0.06316813707377171, -0.07649412055073578, -0.09306654866116704, 0.07262514823174973, 0.024083322797440507, 0.00528376727030019, -0.24400538342173037, -0.00943014041782055, -0.00884337249252375, -0.0795685269326018, 0.023511262110826898, -0.24251870548264312],
+]
+
+
+def q_ann_topk_ivf(k: int = 5, n_queries: int = 20, nprobe: int = 3) -> str:
+    """IVF approximate top-k — EXACT oracle at sf0.01 (frozen trained
+    centroids above): every vector is assigned to its argmax-dot
+    centroid (inverted file; ties -> lowest cid, matching the engine's
+    stable argsort), queries probe their nprobe best centroids, and
+    candidates are exact-cosine re-ranked over the ROUNDED cosine like
+    the Spark side. The engine skips query normalization for the same
+    scale-invariant argmax (similarity._ivf_probe_udf)."""
+    cents = " UNION ALL ".join(
+        "SELECT " + str(i) + " AS cid, " + repr(row) + "::DOUBLE[] AS c"
+        for i, row in enumerate(_IVF_CENTROIDS_SF001)
+    )
+    cos = _COS
+    return f"""
+WITH cents AS ({cents}),
+dots AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(e.embedding::DOUBLE[], c.c) AS dot
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot DESC, cid ASC) AS r
+    FROM dots) WHERE r = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot DESC, cid ASC) AS r
+    FROM dots WHERE vec_id < {n_queries}) WHERE r <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT q.query_id, a.neighbor_id
+  FROM qprobe q JOIN assign a ON q.cid = a.cid
+  WHERE q.query_id != a.neighbor_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {cos} AS cos
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.query_id
+  JOIN embeddings b ON b.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {k}
+"""

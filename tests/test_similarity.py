@@ -63,3 +63,36 @@ def test_ivf_centroids_deterministic(spark):
     c1 = sim.ivf_centroids(emb)
     c2 = sim.ivf_centroids(emb.repartition(7))
     assert np.allclose(c1, c2)
+
+
+def test_frozen_ivf_centroids_match_sf001(spark):
+    """The oracle's frozen centroid literals must equal what
+    ivf_centroids trains on the sf0.01 embeddings — guards both the
+    trainer's determinism and literal drift (q_ann_topk_ivf is an
+    exact oracle only while these agree)."""
+    import numpy as np
+
+    from renet2_spark.oracles import _IVF_CENTROIDS_SF001
+    from renet2_spark.operators.similarity import ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = ivf_centroids(emb)
+    frozen = np.array(_IVF_CENTROIDS_SF001, dtype=np.float64)
+    assert got.shape == frozen.shape
+    assert np.array_equal(got, frozen)
+
+
+def test_ivf_centroids_degenerate_inputs(spark):
+    """ADVICE #3: empty sample -> clear error; short sample -> clamped
+    centroid count, not a silent short matrix."""
+    import numpy as np
+    import pytest
+
+    from renet2_spark.operators.similarity import ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="empty sample"):
+        ivf_centroids(emb.filter("vec_id < 0"))
+    c = ivf_centroids(emb.filter("vec_id < 3"), n_centroids=8)
+    assert c.shape[0] == 3  # clamped to the sample size
+    assert np.isfinite(c).all()
