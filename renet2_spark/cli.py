@@ -37,7 +37,7 @@ def cmd_predict(args) -> int:
     # corpora never silently hit the arithmetic fast tagger
     if args.scorer == "neural":
         edges = build_edges_neural(spark, docs, cutoff=cutoff,
-                                   corpus=args.corpus)
+                                   corpus=args.corpus, mode=args.mode)
     else:
         edges = build_edges(spark, docs, cutoff=cutoff, corpus=args.corpus)
     out = edges.select(
@@ -134,6 +134,10 @@ def main(argv: list[str] | None = None) -> int:
                     default="auto",
                     help="sentence derivation: packed contract, raw "
                          "splitter/tokenizer chain, or probe (default)")
+    sp.add_argument("--mode", choices=["abs", "ft"], default="abs",
+                    help="neural input shape: abstract 32 sents or "
+                         "full-text 400 sents (reference fix_snt_n, "
+                         "predict.py:291-294)")
     sp.set_defaults(fn=cmd_predict)
 
     sp = sub.add_parser(

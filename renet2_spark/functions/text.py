@@ -155,6 +155,150 @@ def tokenize_series(texts: pd.Series) -> pd.Series:
     return s.str.strip().str.split()
 
 
+# ---- secondary tokenizer variant (reference utils/tokenizer.py:112-225) ---
+# tokenize_s: the aggressive variant — same quote/punct framing as
+# `tokenize` but the '" ' padding carries a double space, the
+# quote-clitic replace has NO skip guard, only the Cannot/D'ye word
+# expansions are live, and a final pass splits on - ' / _ * + = . ;
+# (so ALL periods separate, not just the sentence-final one).
+
+_RULES_S_PRE: list[tuple[str, str]] = [
+    (r'^"', '" '),
+    _lit(' "', '  " '),
+    _lit('("', '( " '),
+    _lit('["', '[ " '),
+    _lit('{"', '{ " '),
+    _lit('<"', '< " '),
+    _lit("...", " ... "),
+    _lit(",", " , "),
+    _lit(";", " ; "),
+    _lit(":", " : "),
+    _lit("@", " @ "),
+    _lit("#", " # "),
+    _lit("$", " $ "),
+    _lit("%", " % "),
+    _lit("&", " & "),
+    _FINAL_PERIOD,
+    _lit("?", " ? "),
+    _lit("!", " ! "),
+    _lit("[", " [ "),
+    _lit("]", " ] "),
+    _lit("(", " ( "),
+    _lit(")", " ) "),
+    _lit("{", " { "),
+    _lit("}", " } "),
+    _lit("<", " < "),
+    _lit(">", " > "),
+    _lit("--", " -- "),
+]
+
+_RULES_S_POST: list[tuple[str, str]] = [
+    _lit('"', ' "  '),  # double trailing space, reference line 176
+    _lit("' ", " ' "),  # no skip guard in this variant
+    _lit("'s ", " 's "),
+    _lit("'S ", " 'S "),
+    _lit("'m ", " 'm "),
+    _lit("'M ", " 'M "),
+    _lit("'d ", " 'd "),
+    _lit("'D ", " 'D "),
+    _lit("'ll ", " 'll "),
+    _lit("'re ", " 're "),
+    _lit("'ve ", " 've "),
+    _lit("n't ", " n't "),
+    _lit("'LL ", " 'LL "),
+    _lit("'RE ", " 'RE "),
+    _lit("'VE ", " 'VE "),
+    _lit("N'T ", " N'T "),
+    _lit(" Cannot ", " Can not "),
+    _lit(" cannot ", " can not "),
+    _lit(" D'ye ", " D' ye "),
+    _lit(" d'ye ", " d' ye "),
+    _lit("-", " - "),
+    _lit("'", " ' "),
+    _lit("/", " / "),
+    _lit("_", " _ "),
+    _lit("*", " * "),
+    _lit("+", " + "),
+    _lit("=", " = "),
+    _lit(".", " . "),
+    _lit(";", " ; "),
+]
+
+_COMPILED_S_PRE = [(re.compile(p), r) for p, r in _RULES_S_PRE]
+_COMPILED_S_POST = [(re.compile(p), r) for p, r in _RULES_S_POST]
+
+
+def tokenize_s(text: str) -> list[str]:
+    """Reference-parity secondary tokenizer (tokenize_s,
+    utils/tokenizer.py:112-225) — parity pinned by frozen vectors
+    generated by executing the reference (tests/test_ref_parity.py)."""
+    if not text:
+        return []
+    s = text
+    for pat, repl in _COMPILED_S_PRE:
+        s = pat.sub(repl, s)
+    s = " " + s + " "
+    for pat, repl in _COMPILED_S_POST:
+        s = pat.sub(repl, s)
+    return s.strip().split()
+
+
+# ---- simple sentence splitter + bracket refine (raw.py:399-433,550-586) ---
+
+_SPLIT_LEAD = "ABCDEFGHIJKLMNOPQRSTUVWXYZ" + '-"' + "'"
+
+
+def sentence_split_simple(text: str) -> list[str]:
+    """Reference `sentence_split` (raw.py:399-433) — the simple
+    pre-splitter refine_snt consumes: cut after '?'/'!' anywhere and
+    after '.' followed by ' ' + [A-Z-\"'], absorbing the tail when the
+    cut char sits within the last two positions. Exact substrings."""
+    out: list[str] = []
+    piv, n = 0, len(text)
+    for i, ch in enumerate(text):
+        if ch in "?!":
+            if i > n - 3:
+                out.append(text[piv:])
+                return out
+            out.append(text[piv : i + 1])
+            piv = i + 1
+        elif ch == ".":
+            if i > n - 3:
+                out.append(text[piv:])
+                return out
+            if text[i + 1] == " " and text[i + 2] in _SPLIT_LEAD:
+                out.append(text[piv : i + 1])
+                piv = i + 1
+    out.append(text[piv:])
+    return out
+
+
+def refine_snt(text: str, snt_offsets: list[int]) -> tuple[list[str], list[int]]:
+    """Reference `refine_snt` (raw.py:550-586): drop candidate sentence
+    START offsets that fall inside an open-bracket region (only when
+    the text's brackets are globally balanced; an offset AT an opening
+    bracket of depth 1 survives), then re-slice the text at the kept
+    offsets. Returns (sentences, kept_offsets)."""
+    balanced = sum(c in "[({" for c in text) == sum(c in "}])" for c in text)
+    kept: list[int] = []
+    depth, j = 0, 0
+    for i, ch in enumerate(text):
+        if balanced:
+            if ch in "[({":
+                depth += 1
+            if depth > 0 and ch in "])}":
+                depth -= 1
+        if j < len(snt_offsets) and snt_offsets[j] == i:
+            if depth == 0 or (depth == 1 and ch in "[({"):
+                kept.append(i)
+            j += 1
+    snts = [
+        text[kept[i] : kept[i + 1] if i + 1 < len(kept) else len(text)]
+        for i in range(len(kept))
+    ]
+    return snts, kept
+
+
 # ---- sentence splitter (reference raw.py:437-545 snt_split) ---------------
 
 _UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"

@@ -42,6 +42,10 @@ from ..dictionaries import VOCAB_SIZE, WORD_INDEX
 
 N_MODELS = 10
 MAX_SENTS = 32  # reference abstract-mode snt_n (README.md:216)
+# full-text mode: fix_snt_n=400 (reference predict.py:291-294 default;
+# "recommend [for abs 32, for ft 400]") — exposed as mode="ft" through
+# build_edges_neural and the CLI, threaded here via max_sents
+MAX_SENTS_FT = 400
 MAX_TOKENS = 54  # reference fix_token_n (predict.py:291-294)
 # per-doc entity remap cap (reference raw.py:1223-1226): entity tokens
 # are replaced by per-doc indices — genes 1..MX in first-occurrence
@@ -189,12 +193,15 @@ def entity_remap(sorted_ments: list) -> dict[tuple[str, str], int]:
 
 
 def build_pair_tensors(
-    tok_ids: list, ments: list, gene_id: str, disease_id: str
+    tok_ids: list, ments: list, gene_id: str, disease_id: str,
+    max_sents: int = MAX_SENTS,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-pair [S, T] token-id and feature-code matrices (reference
     sequence_utils.py:325-349 pair-specific recode; entity positions'
-    token ids remapped to reserved per-doc indices, raw.py:1223-1226)."""
-    S = min(len(tok_ids), MAX_SENTS)
+    token ids remapped to reserved per-doc indices, raw.py:1223-1226).
+    max_sents selects the input shape: 32 = abstract mode, 400 =
+    full-text mode (MAX_SENTS_FT)."""
+    S = min(len(tok_ids), max_sents)
     Tk = min(max((len(s) for s in tok_ids[:S]), default=1), MAX_TOKENS)
     tok = np.zeros((S, Tk), dtype=np.int64)
     feat = np.zeros((S, Tk), dtype=np.int64)
@@ -228,14 +235,15 @@ def build_pair_tensors(
     return tok, feat
 
 
-def _doc_cache_entry(tok_ids: list, ments) -> tuple:
+def _doc_cache_entry(tok_ids: list, ments,
+                     max_sents: int = MAX_SENTS) -> tuple:
     """Per-DOC precompute shared by all of the doc's pairs: the token
     matrix (entity positions remapped to reserved per-doc indices,
     raw.py:1223-1226 — ments are sorted by (sent, tok) first so the
     remap is independent of collect_list order), the base feature
     matrix (other-gene=2 / other-disease=1 everywhere), and per-entity
     position lists for target flipping."""
-    S = min(len(tok_ids), MAX_SENTS)
+    S = min(len(tok_ids), max_sents)
     Tk = min(max((len(s) for s in tok_ids[:S]), default=1), MAX_TOKENS)
     tok = np.zeros((S, Tk), dtype=np.int64)
     for si in range(S):
@@ -261,7 +269,8 @@ def _doc_cache_entry(tok_ids: list, ments) -> tuple:
     return tok, base, pos
 
 
-def score_batch(pdf: pd.DataFrame) -> np.ndarray:
+def score_batch(pdf: pd.DataFrame,
+                max_sents: int = MAX_SENTS) -> np.ndarray:
     """[B, N_MODELS] ensemble probabilities for a pandas batch with
     columns doc_id, tok_ids, ments, gene_id, disease_id.
 
@@ -279,7 +288,7 @@ def score_batch(pdf: pd.DataFrame) -> np.ndarray:
     ):
         ent = cache.get(doc_id)
         if ent is None:
-            ent = cache[doc_id] = _doc_cache_entry(t, m)
+            ent = cache[doc_id] = _doc_cache_entry(t, m, max_sents)
         tok, base, pos = ent
         feat = base.copy()
         for s, tkn in pos.get(("Gene", g), ()):
@@ -384,11 +393,13 @@ def doc_tensors(sentences: DataFrame, mentions: DataFrame,
 
 
 def neural_score_pairs(
-    pairs: DataFrame, sentences: DataFrame, mentions: DataFrame
+    pairs: DataFrame, sentences: DataFrame, mentions: DataFrame,
+    max_sents: int = MAX_SENTS,
 ) -> DataFrame:
     """pairs (doc_id, gene_id, disease_id, ...) -> + probs
     array<double> of the 10-model ensemble; plugs into
-    scorer.ensemble_vote unchanged."""
+    scorer.ensemble_vote unchanged. max_sents = 32 (abstract mode,
+    default) or MAX_SENTS_FT=400 (full-text mode)."""
     tensors = doc_tensors(sentences, mentions)
     # repartition before the UDF: the pair rows are tiny in BYTES so
     # AQE coalesces them to ~1 partition, but scoring is heavy in CPU
@@ -408,7 +419,7 @@ def neural_score_pairs(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            probs = score_batch(pdf)
+            probs = score_batch(pdf, max_sents)
             out = pdf.drop(columns=["tok_ids", "ments"])
             out["probs"] = [list(map(float, row)) for row in probs]
             yield out

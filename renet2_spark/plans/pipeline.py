@@ -203,6 +203,7 @@ def build_edges_neural(
     cutoff: int = CUTOFF,
     threshold: float = 0.5,
     corpus: str = "auto",
+    mode: str = "abs",
 ) -> DataFrame:
     """Edges scored by the CNN+BiGRU NumPy ensemble (operators/neural)
     instead of the deterministic scorer; vote semantics identical
@@ -213,8 +214,12 @@ def build_edges_neural(
     raw punctuated text they come from the parity splitter+tokenizer,
     NORMALIZED back to space-joined token strings so the downstream
     tensor encoder's whitespace tokenization sees the real token
-    stream, with mention tok_no coordinates from the raw tagger."""
-    from ..operators.neural import neural_score_pairs
+    stream, with mention tok_no coordinates from the raw tagger.
+
+    mode selects the reference input shape (predict.py:291-294:
+    "recommend [for abs 32, for ft 400]"): 'abs' caps documents at 32
+    sentences, 'ft' (full-text) at 400."""
+    from ..operators.neural import MAX_SENTS, MAX_SENTS_FT, neural_score_pairs
     from ..operators.pairgen import entity_info
     from ..operators.scorer import N_MODELS
 
@@ -253,7 +258,11 @@ def build_edges_neural(
         )
     info = _cache(entity_info(mentions))
     pairs = pair_features(mentions, info=info)
-    scored = neural_score_pairs(pairs, sentences, mentions)
+    if mode not in ("abs", "ft"):
+        raise ValueError(f"mode must be abs|ft, got {mode!r}")
+    max_sents = MAX_SENTS_FT if mode == "ft" else MAX_SENTS
+    scored = neural_score_pairs(pairs, sentences, mentions,
+                                max_sents=max_sents)
     hit = F.size(F.filter(F.col("probs"), lambda p: p > F.lit(threshold)))
     prob_avg = F.round(
         F.aggregate(F.col("probs"), F.lit(0.0), lambda a, p: a + p)

@@ -126,3 +126,110 @@ def test_tokenize_series_equals_scalar():
     texts = [t for t, _ in TOKENIZE_VECTORS]
     got = tokenize_series(pd.Series(texts)).tolist()
     assert got == [tokenize_text(t) for t in texts]
+
+
+# ---- secondary variant parity (round-2 verdict next #9) --------------------
+# Frozen vectors generated by EXECUTING the reference functions
+# (utils/tokenizer.py:112-225 tokenize_s; raw.py:399-433 sentence_split)
+# via ast-extraction; a 3,000-string fuzz against the same executed
+# reference showed zero divergences for tokenize_s, sentence_split_simple
+# and refine_snt at generation time.
+
+TOKENIZE_S_VECTORS = [
+    ('The p53 gene (TP53) regulates "cell-cycle" arrest.',
+     ['The', 'p53', 'gene', '(', 'TP53', ')', 'regulates', '"', 'cell', '-', 'cycle', '"', 'arrest', '.']),
+    ('BRCA1/BRCA2 mutations... cause cancer, e.g. melanoma; see Fig. 2a.',
+     ['BRCA1', '/', 'BRCA2', 'mutations', '.', '.', '.', 'cause', 'cancer', ',', 'e', '.', 'g', '.', 'melanoma', ';', 'see', 'Fig', '.', '2a', '.']),
+    ("He said 'don't' but they can't. Cannot argue!",
+     ['He', 'said', "'", 'do', 'n', "'", 't', "'", 'but', 'they', 'can', "'", 't', '.', 'Can', 'not', 'argue', '!']),
+    ('Values: a=1, b+c_2 *d -- done. OK?',
+     ['Values', ':', 'a', '=', '1', ',', 'b', '+', 'c', '_', '2', '*', 'd', '-', '-', 'done', '.', 'OK', '?']),
+    ('"Quoted start" and [brackets] {curly} <angle> (paren).',
+     ['"', 'Quoted', 'start', '"', 'and', '[', 'brackets', ']', '{', 'curly', '}', '<', 'angle', '>', '(', 'paren', ')', '.']),
+    ('Ends with period.',
+     ['Ends', 'with', 'period', '.']),
+    ('trailing closers.)] ',
+     ['trailing', 'closers', '.', ')', ']']),
+    ('A. B. C. words word.',
+     ['A', '.', 'B', '.', 'C', '.', 'words', 'word', '.']),
+    ('multi  spaces   here.',
+     ['multi', 'spaces', 'here', '.']),
+    ('x!',
+     ['x', '!']),
+    ('semi;colon: test @ # $ % &',
+     ['semi', ';', 'colon', ':', 'test', '@', '#', '$', '%', '&']),
+    ("gene's 'S 'M 'd n't N'T 'LL",
+     ['gene', "'", 's', "'", 'S', "'", 'M', "'", 'd', 'n', "'", 't', 'N', "'", 'T', "'", 'LL']),
+    ("d'ye know? D'ye!",
+     ['d', "'", 'ye', 'know', '?', 'D', "'", 'ye', '!']),
+    ('no punct at all',
+     ['no', 'punct', 'at', 'all']),
+    ('dots..dots...dots',
+     ['dots', '.', '.', 'dots', '.', '.', '.', 'dots']),
+]
+
+SENTENCE_SPLIT_VECTORS = [
+    ('The p53 gene (TP53) regulates "cell-cycle" arrest.',
+     ['The p53 gene (TP53) regulates "cell-cycle" arrest.']),
+    ('BRCA1/BRCA2 mutations... cause cancer, e.g. melanoma; see Fig. 2a.',
+     ['BRCA1/BRCA2 mutations... cause cancer, e.g. melanoma; see Fig. 2a.']),
+    ("He said 'don't' but they can't. Cannot argue!",
+     ["He said 'don't' but they can't.", ' Cannot argue!']),
+    ('Values: a=1, b+c_2 *d -- done. OK?',
+     ['Values: a=1, b+c_2 *d -- done.', ' OK?']),
+    ('"Quoted start" and [brackets] {curly} <angle> (paren).',
+     ['"Quoted start" and [brackets] {curly} <angle> (paren).']),
+    ('Ends with period.',
+     ['Ends with period.']),
+    ('trailing closers.)] ',
+     ['trailing closers.)] ']),
+    ('A. B. C. words word.',
+     ['A.', ' B.', ' C. words word.']),
+    ('multi  spaces   here.',
+     ['multi  spaces   here.']),
+    ('x!',
+     ['x!']),
+    ('semi;colon: test @ # $ % &',
+     ['semi;colon: test @ # $ % &']),
+    ("gene's 'S 'M 'd n't N'T 'LL",
+     ["gene's 'S 'M 'd n't N'T 'LL"]),
+    ("d'ye know? D'ye!",
+     ["d'ye know?", " D'ye!"]),
+    ('no punct at all',
+     ['no punct at all']),
+    ('dots..dots...dots',
+     ['dots..dots...dots']),
+]
+
+
+def test_tokenize_s_parity_frozen():
+    from renet2_spark.functions.text import tokenize_s
+
+    for s, exp in TOKENIZE_S_VECTORS:
+        assert tokenize_s(s) == exp, repr(s)
+
+
+def test_sentence_split_simple_parity_frozen():
+    from renet2_spark.functions.text import sentence_split_simple
+
+    for s, exp in SENTENCE_SPLIT_VECTORS:
+        assert sentence_split_simple(s) == exp, repr(s)
+
+
+def test_refine_snt_bracket_semantics():
+    from renet2_spark.functions.text import refine_snt
+
+    # balanced text: offset 0 and an offset AT a depth-1 opening
+    # bracket survive (reference keeps starts sitting ON '([{')
+    text = "Alpha bet (gamma delta) epsilon."
+    assert text[10] == "("
+    snts, kept = refine_snt(text, [0, 10, 24])
+    assert kept == [0, 10, 24]
+    assert snts == ["Alpha bet ", "(gamma delta) ", "epsilon."]
+    # offset strictly inside the bracket region is dropped
+    snts2, kept2 = refine_snt(text, [0, 14])
+    assert kept2 == [0] and snts2 == [text]
+    # unbalanced brackets disable the filter entirely
+    text3 = "Alpha (beta. Gamma delta."
+    snts3, kept3 = refine_snt(text3, [0, 12])
+    assert kept3 == [0, 12]
