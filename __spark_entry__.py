@@ -406,7 +406,10 @@ def q_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pipeline.build_edges(spark, _docs(spark, sf_dir))
+    # driver testdata is the packed contract by construction -> skip
+    # the auto probe job (the probe itself is exercised by
+    # kg_edges_rawtext's raw routing and tests/test_rawtext.py)
+    return pipeline.build_edges(spark, _docs(spark, sf_dir), corpus="packed")
 
 
 def q_edges_rawtext(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,7 +431,7 @@ def q_edges_rawtext(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pipeline.build_nodes(spark, _docs(spark, sf_dir))
+    return pipeline.build_nodes(spark, _docs(spark, sf_dir), corpus="packed")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10,8 +10,13 @@ line: {"metric", "value" (total sec), "unit", "queries" {name: sec},
 (N and 4N PHYSICAL cores; see scaling() docstring) in separate JVMs on
 the same input — interleaved, best-of-runs — and report throughput at
 both plus scaling efficiency and the machine's own pure-CPU scaling
-ceiling. The sandbox stand-in for the north_rule's N vs 4N executor
-criterion; results recorded in BENCH.md.
+ceiling.
+
+--scaling-cluster: the north_rule's N-vs-4N EXECUTOR comparison on
+SEPARATE executor JVMs — local-cluster[1,2,4096] vs
+local-cluster[4,2,4096] (1 vs 4 two-core executors, per-executor
+resources constant). See scaling() docstring for why the pair is 2/8
+cores, not 4/16. Results recorded in BENCH.md.
 """
 
 from __future__ import annotations
@@ -84,10 +89,22 @@ def run_benchmark(sf_dir: str, cpus: str) -> dict:
     return result
 
 
-def run_flagship_once(sf_dir: str, cpus: str) -> dict:
+def run_flagship_once(sf_dir: str, cpus: str, mode: str = "local") -> dict:
     """Flagship KG pipeline for the scaling runs: best-of-3 timed runs
     (this sandbox shows intermittent external throttling — identical
     RAM-disk writes vary 3s..69s — so min-of-N isolates capability).
+
+    mode='local'   — local[N]: N executor THREADS in one JVM (shared
+                     heap, BlockManager, shuffle server).
+    mode='cluster' — local-cluster[N/2, 2, 4096]: N cores spread over
+                     separate 2-core executor JVMs, each with its OWN
+                     heap/BlockManager/shuffle client — the closest
+                     sandbox analogue of the north_rule's N-vs-4N
+                     EXECUTOR scale-out (round-2 verdict next #3: the
+                     shared single-JVM memory/shuffle path was the
+                     binding constraint in local mode). The flagship's
+                     packed path is pure Catalyst (no python workers),
+                     so nothing extra ships to the executor JVMs.
 
     Toy-scale adjustments, all irrelevant at production scale:
     * input replicated x$SPARK_GRAFT_SCALE_REP (default 64,
@@ -112,13 +129,21 @@ def run_flagship_once(sf_dir: str, cpus: str) -> dict:
     rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "64"))
     runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
+    conf = {
+        "spark.ui.showConsoleProgress": "false",
+        "spark.local.dir": "/dev/shm/spark-local",
+    }
+    if mode == "cluster":
+        n_exec = max(1, int(cpus) // 2)
+        master = f"local-cluster[{n_exec},2,4096]"
+        conf["spark.executor.memory"] = "3g"
+    else:
+        master = f"local[{cpus}]"
     spark = get_spark(
-        app_name=f"renet2_scaling_{cpus}",
-        master=f"local[{cpus}]",
-        extra_conf={
-            "spark.ui.showConsoleProgress": "false",
-            "spark.local.dir": "/dev/shm/spark-local",
-        },
+        app_name=f"renet2_scaling_{mode}_{cpus}",
+        master=master,
+        shuffle_partitions=max(8, 4 * int(cpus)),
+        extra_conf=conf,
     )
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs = (
@@ -132,12 +157,15 @@ def run_flagship_once(sf_dir: str, cpus: str) -> dict:
         )
     )
     n_docs = docs.count()
+    # warm lap: every (fresh) executor JVM JIT-compiles the generated
+    # code before any timed run — otherwise run 1 measures compilation
+    build_edges(spark, docs.limit(4000), corpus="packed").count()
     times = []
     for _ in range(runs):
         root = tempfile.mkdtemp(prefix="bench_ckpt_", dir="/dev/shm")
         store = CheckpointStore(spark, root)
         t0 = time.perf_counter()
-        build_edges(spark, docs, store=store).count()
+        build_edges(spark, docs, store=store, corpus="packed").count()
         times.append(time.perf_counter() - t0)
         shutil.rmtree(root, ignore_errors=True)
     dt = min(times)
@@ -196,12 +224,12 @@ def run_stage_profile(sf_dir: str, cpus: str) -> dict:
     # warm lap (JIT) then the measured lap; stages of both are logged —
     # keep only stages submitted after t_mark. Same job as
     # run_flagship_once (incl. the lineage-tracked mentions stage).
-    build_edges(spark, docs.limit(2000)).count()
+    build_edges(spark, docs.limit(2000), corpus="packed").count()
     t_mark = time.time() * 1000
     root = tempfile.mkdtemp(prefix="prof_ckpt_", dir="/dev/shm")
     store = CheckpointStore(spark, root)
     t0 = time.perf_counter()
-    build_edges(spark, docs, store=store).count()
+    build_edges(spark, docs, store=store, corpus="packed").count()
     wall = round(time.perf_counter() - t0, 3)
     spark.stop()  # flush event log
     shutil.rmtree(root, ignore_errors=True)
@@ -293,53 +321,81 @@ def bandwidth_control() -> dict:
     }
 
 
-def cpu_ceiling() -> dict:
+def cpu_ceiling(pair: tuple[int, int] = (4, 16), mode: str = "local") -> dict:
     """This machine's OWN parallel-scaling ceiling on pure codegen'd
-    arithmetic (no allocation, no shuffle): local[4] vs local[16].
-    32 hardware threads = 16 physical cores + SMT here, and low-thread
-    runs turbo higher, so even perfect code cannot reach 1.0."""
+    arithmetic (no allocation, no shuffle) at the two compared core
+    counts. 32 hardware threads = 16 physical cores + SMT here, and
+    low-thread runs turbo higher, so even perfect code cannot reach
+    1.0. mode='cluster' runs each side on separate 2-core executor
+    JVMs (with a REAL warm-up lap so every executor JIT-compiles —
+    without it the measurement is JIT time, not compute)."""
     from pyspark.sql import functions as F
 
     from renet2_spark.session import get_spark
 
     out = {}
-    for cpus in (4, 16):
+    for cpus in pair:
+        if mode == "cluster":
+            master = f"local-cluster[{max(1, cpus // 2)},2,4096]"
+            extra = {
+                "spark.ui.showConsoleProgress": "false",
+                "spark.executor.memory": "3g",
+            }
+        else:
+            master = f"local[{cpus}]"
+            extra = {"spark.ui.showConsoleProgress": "false"}
         spark = get_spark(
-            app_name=f"cpu_ceiling_{cpus}",
-            master=f"local[{cpus}]",
-            extra_conf={"spark.ui.showConsoleProgress": "false"},
+            app_name=f"cpu_ceiling_{mode}_{cpus}",
+            master=master,
+            shuffle_partitions=max(8, 4 * cpus),
+            extra_conf=extra,
         )
+        expr = F.sum(((F.col("id") % 1000003) * 2654435761) % 1000003)
+        # warm enough that every executor JIT-compiles the loop
+        spark.range(0, 500_000_000, 1, 8 * cpus).select(expr).collect()
         df = spark.range(0, 20_000_000_000, 1, 4 * cpus)
-        spark.range(0, 1000).select(F.sum("id")).collect()
         t0 = time.perf_counter()
-        df.select(
-            F.sum(((F.col("id") % 1000003) * 2654435761) % 1000003)
-        ).collect()
+        df.select(expr).collect()
         out[cpus] = time.perf_counter() - t0
         spark.stop()
+    a, b = pair
     return {
-        "sec_4": round(out[4], 2),
-        "sec_16": round(out[16], 2),
-        "eff": round(out[4] / out[16] / 4.0, 3),
+        f"sec_{a}": round(out[a], 2),
+        f"sec_{b}": round(out[b], 2),
+        "eff": round(out[a] / out[b] / (b / a), 3),
     }
 
 
-def scaling(sf_dir: str) -> dict:
+def scaling(sf_dir: str, mode: str = "local") -> dict:
     """N vs 4N cores (local[4] vs local[16] — both within the box's 16
     PHYSICAL cores; local[32] engages SMT sibling threads, which share
     execution units and measure SMT yield, not parallel efficiency).
+
+    mode='cluster' is the north_rule's N-vs-4N EXECUTOR comparison on
+    SEPARATE executor JVMs: local-cluster[1,2,4096] (one 2-core
+    executor) vs local-cluster[4,2,4096] (four) — per-executor
+    resources held constant, executors added, own heap/BlockManager/
+    shuffle client each (the multi-JVM measurement the round-2 verdict
+    asked for). The pair is 2 vs 8 cores, NOT 4 vs 16: a real cluster
+    scales out by adding MACHINES, so the sandbox analogue must leave
+    the shared host socket unsaturated — at 16 of 16 physical cores
+    the measurement is dominated by single-socket memory bandwidth
+    (per-task CPU time inflates 2.6-3.8x; full matrix in BENCH.md),
+    which a real 4N scale-out multiplies rather than contends for.
 
     Configs are INTERLEAVED across rounds (4,16,4,16,...) and the
     per-config minimum taken: the sandbox throttles progressively
     under sustained load, so back-to-back config blocks would bias
     whichever ran later."""
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+    pair = ("2", "8") if mode == "cluster" else ("4", "16")
     best: dict[str, dict] = {}
     env = dict(os.environ, SPARK_GRAFT_SCALE_RUNS="2")
     for _ in range(rounds):
-        for cpus in ("4", "16"):
+        for cpus in pair:
             r = subprocess.run(
-                [sys.executable, __file__, "--flagship-once", sf_dir, cpus],
+                [sys.executable, __file__, "--flagship-once", sf_dir, cpus,
+                 mode],
                 capture_output=True,
                 text=True,
                 env=env,
@@ -349,16 +405,18 @@ def scaling(sf_dir: str) -> dict:
             if cpus not in best or res["sec"] < best[cpus]["sec"]:
                 best[cpus] = res
     out = best
+    lo, hi = pair
     eff = round(
-        (out["16"]["docs_per_sec"] / out["4"]["docs_per_sec"]) / 4.0, 3
+        (out[hi]["docs_per_sec"] / out[lo]["docs_per_sec"]) / 4.0, 3
     )
-    ceiling = cpu_ceiling()
+    ceiling = cpu_ceiling((int(lo), int(hi)), mode)
     return {
-        "metric": "scaling_efficiency_4_to_16_cores",
+        "metric": f"scaling_efficiency_{lo}_to_{hi}_cores_{mode}",
         "value": eff,
         "unit": "ratio",
-        "n": {k: v for k, v in out["4"].items()},
-        "n4": {k: v for k, v in out["16"].items()},
+        "mode": mode,
+        "n": {k: v for k, v in out[lo].items()},
+        "n4": {k: v for k, v in out[hi].items()},
         "machine_ceiling": ceiling,
         "normalized_vs_ceiling": round(eff / ceiling["eff"], 3)
         if ceiling["eff"]
@@ -369,12 +427,15 @@ def scaling(sf_dir: str) -> dict:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--flagship-once":
-        print(json.dumps(run_flagship_once(sys.argv[2], sys.argv[3])))
+        mode = sys.argv[4] if len(sys.argv) > 4 else "local"
+        print(json.dumps(run_flagship_once(sys.argv[2], sys.argv[3], mode)))
     elif len(sys.argv) > 1 and sys.argv[1] == "--stage-profile":
         print(json.dumps(run_stage_profile(sys.argv[2], sys.argv[3])))
     elif len(sys.argv) > 1 and sys.argv[1] == "--bw-control":
         print(json.dumps(bandwidth_control()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(scaling(SF_DIR)))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-cluster":
+        print(json.dumps(scaling(SF_DIR, mode="cluster")))
     else:
         print(json.dumps(run_benchmark(SF_DIR, CPUS)))

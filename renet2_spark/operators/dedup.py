@@ -342,35 +342,39 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     (+1 if the selected md5 bit is set else -1); bit j reads bit
     (3 - j//32) of hex digit (j % 32).
 
-    Formulation (round-2 verdict #4): the previous row-local version
-    evaluated 64 INTERPRETED `aggregate` HOF lambdas per row — the
-    slowest shape Spark offers for this. This one explodes distinct
-    tokens (narrow), computes md5 ONCE per token and the 64 bit tests
-    as plain codegen'd expressions, and folds with a map-side-combined
-    groupBy(doc_id): sum(+-1 over bit j) >= 0  <=>  2*sum(bit_j) >=
-    n_tokens, so the agg carries 64 small ints + a count per doc.
-    Everything stays inside WholeStageCodegen; the one doc-keyed
-    shuffle moves ~0.5 KB/doc of partial aggregates."""
-    tok = documents.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("_t"),
-    ).select("doc_id", F.md5("_t").alias("_h"))
+    Formulation note (round-2 verdict #4 asked to de-interpret the 64
+    `aggregate` HOF lambdas; we built and MEASURED two codegen'd
+    explode+groupBy alternatives at sf0.1 x16 replication, interleaved
+    best-of-3 — both LOSE):
+      * explode + md5-once + 64 codegen'd bit tests + partial-agg
+        groupBy(doc_id): 0.60x the HOF version;
+      * same with 16 packed 16-bit-lane counters: 0.61x;
+      * the bare explode+md5+groupBy SKELETON alone costs 1.40s vs the
+        HOF version's 1.5s TOTAL — per-token row overhead plus the
+        doc-keyed shuffle exceed the entire interpreted fold.
+    So the row-local interpreted fold stays: it is also the better
+    100 TB shape (zero shuffle, embarrassingly parallel, constant
+    factor only). Full A/B in BENCH.md round 3."""
+    toks = F.array_distinct(F.split(F.col("text"), " "))
 
-    def bit(j):
-        val = F.conv(F.substring("_h", (j % 32) + 1, 1), 16, 10).cast("int")
-        return F.shiftright(val, 3 - j // 32).bitwiseAND(F.lit(1))
+    def bit(tok, j):
+        digit = F.substring(F.md5(tok), (j % 32) + 1, 1)
+        val = (F.instr(F.lit("0123456789abcdef"), digit) - 1).cast("int")
+        b = F.shiftright(val, 3 - j // 32).bitwiseAND(F.lit(1))
+        return F.when(b == 1, F.lit(1)).otherwise(F.lit(-1))
 
-    aggs = [F.sum(bit(j)).alias(f"_s{j}") for j in range(bits)]
-    agg = tok.groupBy("doc_id").agg(*aggs, F.count("*").alias("_n"))
+    def bit_sum(j):
+        return F.aggregate(toks, F.lit(0), lambda a, t: a + bit(t, j))
+
     sig = F.concat(
         *[
-            F.when(2 * F.col(f"_s{j}") >= F.col("_n"), F.lit("1")).otherwise(
-                F.lit("0")
-            )
+            F.when(bit_sum(j) >= 0, F.lit("1")).otherwise(F.lit("0"))
             for j in range(bits)
         ]
     )
-    return agg.select("doc_id", sig.alias("simhash"))
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), sig.alias("simhash")
+    )
 
 
 def dedup_simhash(documents: DataFrame) -> DataFrame:

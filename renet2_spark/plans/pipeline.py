@@ -278,8 +278,13 @@ def build_edges_neural(
 
 
 def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return build_edges(spark, load_documents(spark, sf_dir))
+    # the driver testdata IS the packed contract by construction
+    # (derive_spans defines it) — declare it and skip the probe job;
+    # user-facing entry points (CLI) keep corpus="auto"
+    return build_edges(spark, load_documents(spark, sf_dir), corpus="packed")
 
 
 def run_neural(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return build_edges_neural(spark, load_documents(spark, sf_dir))
+    return build_edges_neural(
+        spark, load_documents(spark, sf_dir), corpus="packed"
+    )
