@@ -62,6 +62,7 @@ from renet2_spark.operators.tagger import tag_mentions
 from renet2_spark.operators import dedup as dd
 from renet2_spark.operators import similarity as sim
 from renet2_spark.functions import textstats as ts
+from renet2_spark.operators import curation as cur
 from renet2_spark.operators import multimodal as mm
 from renet2_spark.plans import pipeline
 from renet2_spark.plans import relational as rel
@@ -489,6 +490,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_similarity.py; needs the package on executor
         # python workers (pandas UDF closure)
         "ann_topk_ivf": lambda s, d: (_ship_pkg(s), sim.ann_topk_ivf(_emb(s, d)))[1],
+        # training-corpus curation: packing / decontamination / sampling
+        "pack_sequences": lambda s, d: cur.pack_sequences(_docs(s, d)),
+        "decontaminate": lambda s, d: cur.decontaminate(
+            _docs(s, d).filter(F.pmod(F.col("doc_id"), F.lit(97)) != 3),
+            _docs(s, d).filter(F.pmod(F.col("doc_id"), F.lit(97)) == 3),
+        ),
+        "sample_hash": lambda s, d: cur.sample_hash(_docs(s, d)),
         # text analysis
         "text_stats": lambda s, d: ts.text_stats(_docs(s, d)),
         "lang_id": lambda s, d: ts.lang_id(_docs(s, d)),
@@ -560,6 +568,9 @@ def oracle_sql() -> dict[str, str]:
         # deterministic literals both engines share
         "dedup_embedding_lsh": oracles.q_dedup_embedding_lsh(),
         "ann_topk_lsh": oracles.q_ann_topk_lsh(),
+        "pack_sequences": oracles.q_pack_sequences(),
+        "decontaminate": oracles.q_decontaminate(),
+        "sample_hash": oracles.q_sample_hash(),
         "text_stats": oracles.q_text_stats(),
         "lang_id": oracles.q_lang_id(),
         "token_counts": oracles.q_token_counts(),

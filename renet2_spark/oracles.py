@@ -1217,3 +1217,72 @@ ranked AS (
 )
 SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {k}
 """
+
+
+# ---- curation oracles (operators/curation.py) ------------------------------
+
+
+def q_pack_sequences(budget: int = 256) -> str:
+    """Concat-then-chunk packing per source in numeric doc_id order —
+    mirrors curation.pack_sequences exactly."""
+    return f"""
+WITH t AS (
+  SELECT source, CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS ord,
+         CAST(len(string_split("text", ' ')) AS INT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+         PARTITION BY source ORDER BY ord
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS start_offset
+  FROM t
+)
+SELECT source, doc_id, n_tokens, start_offset,
+       CAST(start_offset // {budget} AS INT) AS bin_id,
+       CAST(start_offset % {budget} AS INT) AS bin_offset
+FROM s
+"""
+
+
+def q_decontaminate(mod: int = 97, rem: int = 3) -> str:
+    """Contamination of train docs (doc_id % mod != rem) against the
+    deterministic eval slice (doc_id % mod == rem) — mirrors
+    curation.decontaminate over dedup.doc_shingles shingling."""
+    return f"""
+WITH {SHINGLES},
+ev AS (
+  SELECT DISTINCT shingle FROM shingles
+  WHERE CAST(doc_id AS BIGINT) % {mod} = {rem}
+),
+train AS (
+  SELECT * FROM shingles WHERE CAST(doc_id AS BIGINT) % {mod} != {rem}
+),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_sh FROM train GROUP BY 1
+),
+hits AS (
+  SELECT t.doc_id, CAST(count(*) AS INT) AS n_contaminated
+  FROM train t JOIN ev USING (shingle) GROUP BY 1
+)
+SELECT z.doc_id,
+       CAST(coalesce(h.n_contaminated, 0) AS INT) AS n_contaminated,
+       z.n_sh,
+       round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+             / CAST(z.n_sh AS DOUBLE), 5) AS contamination
+FROM sizes z LEFT JOIN hits h ON z.doc_id = h.doc_id
+"""
+
+
+def q_sample_hash(pct: float = 10.0, salt: str = "s0") -> str:
+    """Deterministic md5-prefix sampling — mirrors curation.sample_hash
+    (first 4 hex digits of md5(salt || ':' || doc_id) as an int)."""
+    h = f"md5('{salt}:' || CAST(doc_id AS VARCHAR))"
+    digit = lambda k: f"(strpos('0123456789abcdef', substr({h}, {k}, 1)) - 1)"
+    val = f"((({digit(1)} * 16 + {digit(2)}) * 16 + {digit(3)}) * 16 + {digit(4)})"
+    threshold = int(pct / 100.0 * 65536)
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, source
+FROM documents
+WHERE {val} < {threshold}
+"""
