@@ -93,6 +93,75 @@ def stream_windowed_mention_counts(
     )
 
 
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id bigint, text string",
+) -> None:
+    """Cross-micro-batch EXACT dedup as a CUSTOM STATEFUL operator
+    (applyInPandasWithState): the stream is keyed by md5(text); per
+    key, the state remembers whether that hash was ever emitted, so
+    only the FIRST document with a given text — across all batches the
+    query has ever processed, surviving restarts via the state-store
+    checkpoint — is emitted (earliest doc_id wins within a batch,
+    deterministic). Output: (text_hash, keeper_doc_id).
+
+    State is one boolean per distinct hash — the minimal streaming-
+    dedup state; a production deployment bounds it with a TTL
+    (GroupStateTimeout.ProcessingTimeTimeout + state.setTimeoutDuration)
+    accepting re-emission after the TTL. The reference has no streaming
+    at all (SURVEY §2.9); this is the Structured-Streaming shape of
+    operators/dedup.dedup_exact."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    hashed = stream.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("text").alias("text_hash"),
+    )
+
+    out_schema = "text_hash string, keeper_doc_id string"
+    state_schema = "seen boolean"
+
+    def dedup(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            for _ in pdfs:  # drain: hash already emitted earlier
+                pass
+            return
+        keeper = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                keeper = m if keeper is None else min(keeper, m)
+        if keeper is None:
+            return
+        state.update((True,))
+        yield pd.DataFrame(
+            {"text_hash": [key[0]], "keeper_doc_id": [str(keeper)]}
+        )
+
+    deduped = hashed.groupBy("text_hash").applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", output_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def stream_edges(
     spark: SparkSession,
     input_dir: str,

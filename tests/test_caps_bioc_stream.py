@@ -374,3 +374,47 @@ def test_media_decode_real_image_headers(spark):
     assert got["img://d2/0"] == (800, 600, 3)
     # fallback branch: byte-derived dims (0x10=16 -> 64+16=80, ch 1+0)
     assert got["img://d2/1"] == (80, 80, 1)
+
+
+def test_stream_dedup_exact_stateful_across_batches(spark):
+    """Custom stateful operator (applyInPandasWithState): exact dedup
+    whose state survives ACROSS micro-batches and across query
+    restarts (state-store checkpoint). Batch 2 repeats batch-1 texts —
+    they must NOT be re-emitted; its genuinely new text must."""
+    from renet2_spark.streaming.incremental import stream_dedup_exact
+
+    indir = tempfile.mkdtemp(prefix="sd_in_")
+    outdir = tempfile.mkdtemp(prefix="sd_out_") + "/keepers"
+    ckpt = tempfile.mkdtemp(prefix="sd_ck_")
+    try:
+        b1 = spark.createDataFrame(
+            [(3, "aa bb"), (1, "aa bb"), (2, "cc dd")],
+            "doc_id long, text string",
+        )
+        b1.write.mode("append").parquet(indir)
+        stream_dedup_exact(spark, indir, outdir, ckpt)
+        got1 = {
+            (r["text_hash"], r["keeper_doc_id"])
+            for r in spark.read.parquet(outdir).collect()
+        }
+        # earliest doc_id per text within the batch
+        keepers1 = {k for _, k in got1}
+        assert keepers1 == {"1", "2"} and len(got1) == 2
+
+        b2 = spark.createDataFrame(
+            [(9, "aa bb"), (8, "cc dd"), (7, "ee ff")],
+            "doc_id long, text string",
+        )
+        b2.write.mode("append").parquet(indir)
+        # restart the query on the same checkpoint: state resumes
+        stream_dedup_exact(spark, indir, outdir, ckpt)
+        got2 = {
+            (r["text_hash"], r["keeper_doc_id"])
+            for r in spark.read.parquet(outdir).collect()
+        }
+        new = got2 - got1
+        assert {k for _, k in new} == {"7"}  # only the new text emitted
+        assert len(got2) == 3
+    finally:
+        shutil.rmtree(indir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

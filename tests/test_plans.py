@@ -94,3 +94,42 @@ def test_vote_predicate_reaches_join(spark):
 
     plan = _optimized(build_edges(spark, _docs(spark)))
     assert "Join" in plan and "CASE WHEN" in plan
+
+
+def test_decontaminate_probe_is_broadcast(spark):
+    """The eval shingle set must reach the train side as a broadcast
+    hash relation — the train corpus is never shuffled for the probe."""
+    from renet2_spark.operators.curation import decontaminate
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ev = docs.filter("doc_id % 97 = 3")
+    tr = docs.filter("doc_id % 97 != 3")
+    plan = _executed(decontaminate(tr, ev))
+    assert "BroadcastHashJoin" in plan
+    # the only sort-merge exchange keys are doc-side aggregations, not
+    # a shingle-keyed train-vs-eval join
+    assert "SortMergeJoin [shingle" not in plan
+
+
+def test_pack_sequences_partitions_by_source(spark):
+    """Packing must window per source (parallel), never a global
+    single-partition window."""
+    from renet2_spark.operators.curation import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _executed(pack_sequences(docs))
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_minhash_bucket_cap_window_reuses_join_key(spark):
+    """The hot-bucket cap's row_number partitions on the SAME
+    (band, band_key) the candidate join shuffles on, so the cap adds
+    no extra exchange shape beyond the window sort."""
+    from renet2_spark.operators.dedup import dedup_minhash_lsh
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _executed(dedup_minhash_lsh(docs))
+    assert "hashpartitioning(band" in plan
+    # candidate restriction guard still present after the cap change
+    assert "LeftSemi" in _optimized(dedup_minhash_lsh(docs))

@@ -197,3 +197,20 @@ def test_no_leaked_caches_after_pipeline_queries(spark):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() > base
     pipeline.release_pipeline_caches()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
+
+
+def test_neural_raw_corpus_routing(spark):
+    """build_edges_neural on a punctuated corpus must route through the
+    raw chain: sentences are reconstructed from the REAL tokenizer's
+    token stream (so the encoder's whitespace split sees real tokens)
+    and mentions carry raw-tagger coordinates. Smoke-level: runs end to
+    end, emits edges for the high-evidence pair, and coordinates stay
+    consistent (no crash / no empty join)."""
+    docs = _var_df(spark)
+    edges = pipeline.build_edges_neural(spark, docs, cutoff=1, corpus="auto")
+    rows = edges.collect()
+    pipeline.release_pipeline_caches()
+    assert len(rows) > 0
+    pairs = {(r["gene_id"], r["disease_id"]) for r in rows}
+    # doc 1's (scan, slow) co-occurs in all three sentences
+    assert ("1001", "D0001") in pairs
