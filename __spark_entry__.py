@@ -305,6 +305,63 @@ def q_bioc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pubtator_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 PubTator abstract-format parser driven end-to-end: each doc
+    is rendered as PubTator lines (pmid|t|title, pmid|a|abstract — docs
+    with doc_id%7==0 get a <3-char abstract to exercise the '$$$'
+    sentinel, reference parse_data.py:52 — plus a Gene annotation TSV
+    line for every doc, a Disease line for doc_id%3==0, and a Chemical
+    line that the type filter must drop), then parsed back by
+    parse_pubtator; the oracle builds the expected spans/ann counts
+    directly."""
+    from renet2_spark.sources.pubtator import parse_pubtator
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    ws = F.split(F.col("text"), " ")
+    title = F.array_join(F.slice(ws, 1, 10), " ")
+    abstract = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(7)) == 0, F.lit("xy"))
+        .otherwise(F.array_join(F.slice(ws, 11, 10), " "))
+    )
+    first = F.get(ws, 0)
+    tsv = lambda *cols: F.concat_ws("\t", *cols)
+    lines = docs.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.concat(did, F.lit("|t|"), title),
+                    F.concat(did, F.lit("|a|"), abstract),
+                    tsv(did, F.lit("0"), F.lit("4"), first, F.lit("Gene"),
+                        F.concat(F.lit("G"), did)),
+                    tsv(did, F.lit("5"), F.lit("9"), first, F.lit("Chemical"),
+                        F.lit("C1")),
+                    F.when(
+                        F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+                        tsv(did, F.lit("2"), F.lit("7"), first,
+                            F.lit("Disease"), F.concat(F.lit("D"), did)),
+                    ),
+                )
+            )
+        ).alias("value")
+    )
+    spans, anns = parse_pubtator(lines)
+    sp = spans.select(
+        "doc_id",
+        F.size("spans").cast("int").alias("n_spans"),
+        F.col("spans")[0]["text"].alias("title_text"),
+        F.col("spans")[1]["text"].alias("abstract_text"),
+        F.col("spans")[1]["offset"].cast("int").alias("abstract_offset"),
+    )
+    na = anns.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_anns"),
+        F.concat_ws(",", F.sort_array(F.collect_list("raw_id"))).alias(
+            "ann_ids"
+        ),
+    )
+    return sp.join(na, "doc_id")
+
+
 def q_corpus_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 count-stats metrics (reference check_rec_full truncation
     metrics, raw_handler.py:98-114): corpus-level fill/truncation
@@ -452,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_verified": q_mentions_verified,
         "kg_tokens_rnn": q_tokens_rnn,
         "kg_bioc_roundtrip": q_bioc_roundtrip,
+        "kg_pubtator_roundtrip": q_pubtator_roundtrip,
         "kg_corpus_metrics": q_corpus_metrics,
         "kg_pairs": q_pairs,
         "kg_pairs_doc": q_pairs_doc,
@@ -539,6 +597,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions_verified": oracles.q_mentions_verified(),
         "kg_tokens_rnn": oracles.q_tokens_rnn(),
         "kg_bioc_roundtrip": oracles.q_bioc_roundtrip(),
+        "kg_pubtator_roundtrip": oracles.q_pubtator_roundtrip(),
         "kg_corpus_metrics": oracles.q_corpus_metrics(),
         "kg_pairs": oracles.q_pairs(),
         "kg_pairs_doc": oracles.q_pairs_doc(),

@@ -1286,3 +1286,36 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, source
 FROM documents
 WHERE {val} < {threshold}
 """
+
+
+def q_pubtator_roundtrip() -> str:
+    """Expected output of the PubTator render->parse roundtrip
+    (__spark_entry__.q_pubtator_roundtrip): spans from the render rule,
+    '$$$' sentinel for short abstracts (parse_data.py:52), Gene+Disease
+    anns kept, Chemical dropped. coalesce: DuckDB array_to_string over
+    an empty slice is NULL where Spark array_join gives ''."""
+    return """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS did,
+         string_split("text", ' ') AS ws
+  FROM documents
+),
+r AS (
+  SELECT doc_id, did,
+         array_to_string(list_slice(ws, 1, 10), ' ') AS title,
+         CASE WHEN did % 7 = 0 THEN 'xy'
+              ELSE coalesce(array_to_string(list_slice(ws, 11, 20), ' '), '')
+         END AS abstract0
+  FROM w
+)
+SELECT doc_id,
+       2 AS n_spans,
+       title AS title_text,
+       CASE WHEN length(abstract0) < 3 THEN '$$$' ELSE abstract0 END
+         AS abstract_text,
+       CAST(length(title) + 1 AS INT) AS abstract_offset,
+       CAST(CASE WHEN did % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_anns,
+       CASE WHEN did % 3 = 0 THEN 'D' || doc_id || ',G' || doc_id
+            ELSE 'G' || doc_id END AS ann_ids
+FROM r
+"""
