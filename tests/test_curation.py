@@ -52,6 +52,114 @@ def test_pack_sequences_bins_fill(spark):
             )
 
 
+def _pack_expected(rows, key):
+    """Single-threaded reference packing: per-source cumsum in key
+    order over (source, doc_id, n_tokens) tuples."""
+    out = {}
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r[0], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: key(r[1]))
+        off = 0
+        for _, doc_id, n in rs:
+            out[(src, doc_id)] = off
+            off += n
+    return out
+
+
+def test_pack_sequences_hierarchical_matches_single_window(spark):
+    """The segmented two-pass prefix sum must produce the EXACT
+    start_offsets of a single per-source window, at several segment
+    counts (including segments=1, the degenerate single-segment case,
+    and segments >> docs-per-source)."""
+    docs = _docs(spark)
+    flat = [
+        (r["source"], str(r["doc_id"]), len(r["text"].split(" ")))
+        for r in docs.select("source", "doc_id", "text").collect()
+    ]
+    want = _pack_expected(flat, key=int)
+    for segs in (1, 8, 10_000):
+        got = {
+            (r["source"], r["doc_id"]): r["start_offset"]
+            for r in cur.pack_sequences(docs, segments=segs).collect()
+        }
+        assert got == want, f"segments={segs}"
+
+
+def test_pack_sequences_non_numeric_ids_deterministic(spark):
+    """Non-castable doc_ids must not silently scramble the packing
+    order (round-3 verdict #2): the fallback orders numeric ids first
+    (numerically), then non-numeric ids lexicographically, and warns."""
+    import warnings
+
+    docs = spark.createDataFrame(
+        [
+            ("u-b", "w w w", "en", "s1"),
+            ("10", "w w", "en", "s1"),
+            ("u-a", "w", "en", "s1"),
+            ("2", "w w w w", "en", "s1"),
+            ("9", "w", "en", "s2"),
+        ],
+        "doc_id string, text string, lang string, source string",
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {
+            (r["source"], r["doc_id"]): r["start_offset"]
+            for r in cur.pack_sequences(docs, budget=4).collect()
+        }
+    assert any(issubclass(w.category, RuntimeWarning) for w in caught)
+    # s1 order: 2 (4 tok), 10 (2 tok), u-a (1 tok), u-b (3 tok)
+    assert got == {
+        ("s1", "2"): 0,
+        ("s1", "10"): 4,
+        ("s1", "u-a"): 6,
+        ("s1", "u-b"): 7,
+        ("s2", "9"): 0,
+    }
+    # and it is stable across recomputation
+    got2 = {
+        (r["source"], r["doc_id"]): r["start_offset"]
+        for r in cur.pack_sequences(docs, budget=4).collect()
+    }
+    assert got2 == got
+
+
+def test_pack_sequences_sparse_ids(spark):
+    """Sparse/clustered numeric ids still pack correctly (segments
+    bound the id range, not the count — values must be unaffected)."""
+    rows = [(str(i * 997 + 5), "w " * (i % 7 + 1), "en", "s") for i in range(50)]
+    rows += [(str(10**15), "w w", "en", "s")]
+    docs = spark.createDataFrame(
+        [(d, t.strip(), la, s) for d, t, la, s in rows],
+        "doc_id string, text string, lang string, source string",
+    )
+    flat = [
+        (r["source"], r["doc_id"], len(r["text"].split(" ")))
+        for r in docs.collect()
+    ]
+    want = _pack_expected(flat, key=int)
+    got = {
+        (r["source"], r["doc_id"]): r["start_offset"]
+        for r in cur.pack_sequences(docs, segments=16).collect()
+    }
+    assert got == want
+
+
+def test_decontaminate_shuffled_fallback_matches(spark):
+    """broadcast_eval=False (the large-eval-suite escape hatch) must
+    produce byte-identical results to the broadcast path."""
+    docs = _docs(spark)
+    ev = docs.filter("doc_id % 97 = 3")
+    tr = docs.filter("doc_id % 97 != 3")
+    a = sorted(map(tuple, cur.decontaminate(tr, ev).collect()))
+    b = sorted(
+        map(tuple, cur.decontaminate(tr, ev, broadcast_eval=False).collect())
+    )
+    assert a == b and len(a) > 0
+
+
 def test_decontaminate_flags_planted_overlap(spark):
     docs = spark.createDataFrame(
         [

@@ -122,6 +122,19 @@ def test_pack_sequences_partitions_by_source(spark):
     assert "SinglePartition" not in plan
 
 
+def test_pack_sequences_window_is_segmented(spark):
+    """The corpus-side running-sum window must partition on
+    (source, _seg) — the bounded id-range segment — not on source
+    alone (round-3 verdict #2: per-source windows serialize a hot
+    source through one task); segment bases come back via broadcast."""
+    from renet2_spark.operators.curation import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _executed(pack_sequences(docs, segments=8))
+    assert "hashpartitioning(source" in plan and "_seg" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_minhash_bucket_cap_window_reuses_join_key(spark):
     """The hot-bucket cap's row_number partitions on the SAME
     (band, band_key) the candidate join shuffles on, so the cap adds
