@@ -169,6 +169,22 @@ def test_metrics_roundtrip(spark, root):
     assert m["docs_per_sec"] == 123.4
 
 
+def test_auto_probe_decision_lands_in_metrics(spark, root):
+    """build_edges with corpus='auto' + a store must record the probe
+    routing decision as metric rows (round-3 verdict wrong #1: the
+    routing was unobservable)."""
+    from renet2_spark.plans.pipeline import build_edges
+
+    store = CheckpointStore(spark, root)
+    build_edges(spark, _docs(spark), store=store, corpus="auto").collect()
+    m = {
+        (r["stage"], r["metric"]): r["value"]
+        for r in store.metrics().collect()
+    }
+    assert m[("probe", "packed")] == 1.0
+    assert m[("probe", "sampled_docs")] >= 1.0
+
+
 def test_write_table_parquet_fallback(spark, root):
     """S6 sink: no Iceberg runtime on this classpath -> write_table
     degrades to parquet with the same layout contract."""

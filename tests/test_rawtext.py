@@ -48,6 +48,26 @@ def test_probe_contract(spark):
     assert pipeline.probe_corpus_contract(docs) is True
     assert pipeline.probe_corpus_contract(raw_text_twin(docs)) is False
     assert pipeline.probe_corpus_contract(_var_df(spark)) is False
+    # decision + sample size are recorded for observability
+    assert pipeline.last_probe == {"packed": False, "sampled_docs": 2}
+
+
+def test_probe_rejects_mixed_corpus(spark):
+    """A packed-head / raw-tail UNION (what incremental ingest
+    produces) must route raw: the probe samples every partition's
+    head, not an arrival-order prefix (round-3 verdict wrong #1)."""
+    docs = load_documents(spark, SF_SMOKE).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    raw_tail = raw_text_twin(docs.filter("doc_id % 5 = 0"))
+    mixed = docs.filter("doc_id % 5 != 0").unionByName(raw_tail)
+    info = pipeline.probe_corpus_contract_info(mixed)
+    assert info["packed"] is False
+    # same corpus with the raw docs FIRST must (still) route raw
+    mixed2 = raw_tail.unionByName(docs.filter("doc_id % 5 != 0"))
+    assert pipeline.probe_corpus_contract(mixed2) is False
+    # and the pure packed head alone still routes packed
+    assert pipeline.probe_corpus_contract(docs.filter("doc_id % 5 != 0"))
 
 
 def test_raw_edges_match_packed_on_twin_corpus(spark):
