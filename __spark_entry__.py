@@ -510,6 +510,29 @@ def q_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.build_nodes(spark, _docs(spark, sf_dir), corpus="packed")
 
 
+def q_pair_tensors_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest of the neural ENCODE stage (deterministic int tensors:
+    vocab lookup, MX_id_n entity remap, feature codes 0-6, pad/
+    truncate) — one row (n_pairs, digest) hash-checked against a
+    frozen independent NumPy/DuckDB recompute (oracles.
+    PAIR_TENSOR_DIGESTS, drift-guarded in tests/test_neural.py). The
+    un-oracled neural surface shrinks to the float forward pass."""
+    from renet2_spark.operators.neural import pair_tensor_digests
+
+    _ship_pkg(spark)
+    m = _mentions(spark, sf_dir)
+    sentences = sentences_from_spans(derive_spans(_docs(spark, sf_dir)))
+    pairs = pair_features(m).select("doc_id", "gene_id", "disease_id")
+    d = pair_tensor_digests(pairs, sentences, m)
+    row = F.concat_ws("|", "doc_id", "gene_id", "disease_id", "tensor_md5")
+    return d.select(row.alias("r")).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.md5(F.array_join(F.sort_array(F.collect_list("r")), "\n")).alias(
+            "digest"
+        ),
+    )
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -548,6 +571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only driver check; NumPy-oracle golden test in
         # tests/test_neural.py enforces P/R >= 0.95)
         "kg_edges_neural": lambda s, d: (_ship_pkg(s), pipeline.run_neural(s, d))[1],
+        # deterministic neural ENCODE stage digest — exact frozen
+        # oracle (only the float forward pass stays rows-only)
+        "kg_pair_tensors_digest": q_pair_tensors_digest,
         # deduplication suite
         "dedup_exact": lambda s, d: dd.dedup_exact(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dd.dedup_ngram_jaccard(_docs(s, d)),
@@ -645,6 +671,9 @@ def oracle_sql() -> dict[str, str]:
         # the trained centroids are deterministic constants of the
         # sf0.01 corpus, frozen as literals (drift-guarded in pytest)
         "ann_topk_ivf": oracles.q_ann_topk_ivf(),
+        # frozen independent-recompute digest of the neural encode
+        # stage; exact at the driver's sf0.01 correctness scale
+        "kg_pair_tensors_digest": oracles.q_pair_tensors_digest("sf0.01"),
         # LSH queries have EXACT oracles: the hyperplanes are
         # deterministic literals both engines share
         "dedup_embedding_lsh": oracles.q_dedup_embedding_lsh(),

@@ -392,6 +392,56 @@ def doc_tensors(sentences: DataFrame, mentions: DataFrame,
     return toks.join(ments, "doc_id", "left")
 
 
+def tensor_digest(tok: np.ndarray, feat: np.ndarray) -> str:
+    """Canonical md5 of one pair's (token, feature) matrices: shape
+    header + row-major int64 bytes. Deterministic for a given corpus —
+    the digestable surface of the encode stage."""
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(f"{tok.shape[0]}x{tok.shape[1]}:".encode())
+    h.update(np.ascontiguousarray(tok, dtype="<i8").tobytes())
+    h.update(np.ascontiguousarray(feat, dtype="<i8").tobytes())
+    return h.hexdigest()
+
+
+def pair_tensor_digests(
+    pairs: DataFrame, sentences: DataFrame, mentions: DataFrame,
+    max_sents: int = MAX_SENTS,
+) -> DataFrame:
+    """(doc_id, gene_id, disease_id, tensor_md5) — per-pair digest of
+    the DETERMINISTIC tensor-encode stage (vocab lookup, entity-index
+    remap, feature codes 0-6, truncation/padding; reference
+    sequence_utils.py:325-349 + raw.py:1223-1226). Everything up to —
+    but excluding — the float forward pass, so the driver can
+    hash-check it exactly (round-3 verdict next #8: shrink the
+    un-oracled neural surface to the forward pass alone)."""
+    tensors = doc_tensors(sentences, mentions)
+    joined = pairs.select("doc_id", "gene_id", "disease_id").join(
+        tensors, "doc_id"
+    )
+    schema = (
+        "doc_id string, gene_id string, disease_id string, tensor_md5 string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "gene_id": [], "disease_id": [],
+                   "tensor_md5": []}
+            for doc_id, t, m, g, d in zip(
+                pdf["doc_id"], pdf["tok_ids"], pdf["ments"],
+                pdf["gene_id"], pdf["disease_id"],
+            ):
+                tok, feat = build_pair_tensors(t, m, g, d, max_sents)
+                out["doc_id"].append(doc_id)
+                out["gene_id"].append(g)
+                out["disease_id"].append(d)
+                out["tensor_md5"].append(tensor_digest(tok, feat))
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(run, schema=schema)
+
+
 def neural_score_pairs(
     pairs: DataFrame, sentences: DataFrame, mentions: DataFrame,
     max_sents: int = MAX_SENTS,

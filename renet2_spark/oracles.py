@@ -1319,3 +1319,25 @@ SELECT doc_id,
             ELSE 'G' || doc_id END AS ann_ids
 FROM r
 """
+
+
+# Frozen outputs of the pair-tensor encode digest (round-3 verdict
+# next #8): the encode stage (vocab lookup, entity remap, feature
+# codes, truncation/padding) is DETERMINISTIC int arrays, so its
+# corpus-wide digest is a constant of the corpus — frozen here from an
+# INDEPENDENT DuckDB+NumPy recompute (no Spark;
+# tests/test_neural.py::test_pair_tensor_digest_frozen_literals is the
+# drift guard that re-derives both rows). Scale-coupled like
+# _IVF_CENTROIDS_SF001: one row per corpus the harness compares at.
+PAIR_TENSOR_DIGESTS: dict[str, tuple[int, str]] = {
+    "sf0.001": (5371, "10b21a3944210edde9f9e4fc239c7a8b"),
+    "sf0.01": (5314, "c7d533426c377204630878ae0afd3b8c"),
+}
+
+
+def q_pair_tensors_digest(sf: str = "sf0.01") -> str:
+    """One-row (n_pairs, digest) oracle for the neural encode stage —
+    exact at the driver's correctness scale; the float forward pass
+    remains the only un-oracled neural surface."""
+    n, d = PAIR_TENSOR_DIGESTS[sf]
+    return f"SELECT CAST({n} AS BIGINT) AS n_pairs, '{d}' AS digest"

@@ -233,3 +233,61 @@ def test_fulltext_mode_end_to_end(spark):
     ft_rows = build_edges_neural(spark, docs, mode="ft").count()
     release_pipeline_caches()
     assert abs_rows > 0 and ft_rows > 0
+
+
+def _independent_pair_tensor_digest(sf_dir: str) -> tuple[int, str]:
+    """Independent recompute of the encode-stage digest: DuckDB corpus
+    derivation + python candidate generation (shares only the tensor
+    math kernel with the engine, same precedent as
+    numpy_oracle_triples)."""
+    import hashlib
+
+    from renet2_spark.operators.neural import (
+        build_pair_tensors,
+        tensor_digest,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT CAST(doc_id AS VARCHAR) doc_id, \"text\" "
+        f"FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).df()
+    oov = WORD_INDEX["[X]"]
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        words = text.split(" ")
+        sents = [words[i : i + 10] for i in range(0, len(words), 10)]
+        tok_ids = [[WORD_INDEX.get(w, oov) for w in s] for s in sents]
+        ments, genes, diseases = [], {}, {}
+        for si, s in enumerate(sents):
+            for ti, w in enumerate(s):
+                if w in GENE_CANON:
+                    ments.append(
+                        {"sent_no": si, "tok_no": ti, "type": "Gene",
+                         "entity_id": GENE_CANON[w]}
+                    )
+                    genes.setdefault(GENE_CANON[w], set()).add(si)
+                elif w in DISEASE_CANON:
+                    ments.append(
+                        {"sent_no": si, "tok_no": ti, "type": "Disease",
+                         "entity_id": DISEASE_CANON[w]}
+                    )
+                    diseases.setdefault(DISEASE_CANON[w], set()).add(si)
+        for g, gs in genes.items():
+            for d, ds in diseases.items():
+                if gs & ds:
+                    tok, feat = build_pair_tensors(tok_ids, ments, g, d)
+                    rows.append(f"{doc_id}|{g}|{d}|{tensor_digest(tok, feat)}")
+    rows.sort()
+    return len(rows), hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_pair_tensor_digest_frozen_literals(sf):
+    """Drift guard for oracles.PAIR_TENSOR_DIGESTS: the frozen
+    (n_pairs, digest) literals must equal an independent recompute at
+    both corpus scales — so a corpus or encode change cannot silently
+    invalidate the kg_pair_tensors_digest oracle."""
+    from renet2_spark.oracles import PAIR_TENSOR_DIGESTS
+
+    got = _independent_pair_tensor_digest(f"/root/testdata/{sf}")
+    assert got == PAIR_TENSOR_DIGESTS[sf]
