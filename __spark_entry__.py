@@ -510,6 +510,52 @@ def q_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.build_nodes(spark, _docs(spark, sf_dir), corpus="packed")
 
 
+def q_edges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 incremental micro-batch execution driven through the EXACT
+    flagship oracle: a fresh CheckpointStore scores the corpus in
+    bucketed micro-batches with per-partition lineage (reference
+    bounded-memory loop raw.py:1384-1638 made idempotent), and the
+    read-back committed stage table must hash-equal kg_edges — proving
+    the checkpoint write/read path loses and duplicates nothing."""
+    import tempfile
+
+    from renet2_spark.sources.checkpoint import CheckpointStore
+    from renet2_spark.streaming.incremental import run_incremental
+
+    root = tempfile.mkdtemp(prefix="kg_inc_")
+    store = CheckpointStore(spark, root)
+    return run_incremental(
+        spark, _docs(spark, sf_dir), store, buckets=8, corpus="packed"
+    )
+
+
+def q_nodes_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 table sink driven through the EXACT kg_nodes oracle: nodes
+    are written via write_table (Iceberg when the runtime is on the
+    classpath, parquet otherwise — same layout contract) partitioned
+    by entity type, read back via read_table, and must hash-equal the
+    directly-computed nodes."""
+    import tempfile
+
+    from renet2_spark.sources.tables import read_table, write_table
+
+    path = tempfile.mkdtemp(prefix="kg_nodes_tbl_") + "/nodes"
+    nodes = pipeline.build_nodes(spark, _docs(spark, sf_dir), corpus="packed")
+    write_table(nodes, path, partition_by=["type"])
+    return read_table(spark, path)
+
+
+def q_label_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 class-balance counts (reference raw_handler.py:326-377) over
+    the deterministic label fixture — the balance numbers
+    sample_balanced's fractions derive from."""
+    from renet2_spark.operators.caps import label_distribution
+    from renet2_spark.operators.labels import synthetic_labels
+
+    pairs = doc_pair_candidates(_mentions(spark, sf_dir))
+    return label_distribution(synthetic_labels(pairs))
+
+
 def q_pair_tensors_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Digest of the neural ENCODE stage (deterministic int tensors:
     vocab lookup, MX_id_n entity remap, feature codes 0-6, pad/
@@ -567,6 +613,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clitics, rewrites, brackets, multi-space; exact oracle
         "kg_edges_rawtext_messy": q_edges_rawtext_messy,
         "kg_nodes": q_nodes,
+        # S9 incremental micro-batches + S8 checkpoint read-back, and
+        # S6 table sink roundtrip — both against EXACT oracles
+        "kg_edges_incremental": q_edges_incremental,
+        "kg_nodes_table_roundtrip": q_nodes_table_roundtrip,
+        # A8 class-balance counts
+        "kg_label_distribution": q_label_distribution,
         # neural CNN+BiGRU ensemble variant (not SQL-expressible —
         # rows-only driver check; NumPy-oracle golden test in
         # tests/test_neural.py enforces P/R >= 0.95)
@@ -659,6 +711,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges_rawtext": oracles.q_edges(),
         "kg_edges_rawtext_messy": oracles.q_edges(),
         "kg_nodes": oracles.q_nodes(),
+        # incremental micro-batched execution reproduces the flagship
+        # bit-for-bit; the table sink roundtrips nodes bit-for-bit
+        "kg_edges_incremental": oracles.q_edges(),
+        "kg_nodes_table_roundtrip": oracles.q_nodes(),
+        "kg_label_distribution": oracles.q_label_distribution(),
         "dedup_exact": oracles.q_dedup_exact(),
         "dedup_ngram_jaccard": oracles.q_dedup_ngram(),
         "dedup_minhash_lsh": oracles.q_dedup_minhash(),

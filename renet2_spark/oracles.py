@@ -1341,3 +1341,27 @@ def q_pair_tensors_digest(sf: str = "sf0.01") -> str:
     remains the only un-oracled neural surface."""
     n, d = PAIR_TENSOR_DIGESTS[sf]
     return f"SELECT CAST({n} AS BIGINT) AS n_pairs, '{d}' AS digest"
+
+
+def q_label_distribution() -> str:
+    """A8 class-balance counts over the deterministic label fixture
+    (operators/labels.synthetic_labels over doc-level candidate pairs;
+    reference raw_handler.py:326-377)."""
+    return f"""
+WITH {TOKS},
+dg AS (SELECT DISTINCT doc_id, g.gene_id
+       FROM toks JOIN {gdict()} ON lower(token) = g.surface),
+dd AS (SELECT DISTINCT doc_id, d.disease_id
+       FROM toks JOIN {ddict()} ON lower(token) = d.surface),
+doc_pairs AS (SELECT doc_id, gene_id, disease_id FROM dg JOIN dd USING (doc_id)),
+labels AS (
+  SELECT CASE WHEN dgt < 4 THEN 1.0 WHEN dgt < 6 THEN 0.5 ELSE 0.0 END AS label
+  FROM (SELECT *,
+               strpos('0123456789abcdef',
+                      substr(md5(doc_id || ':' || gene_id || ':' || disease_id),
+                             1, 1)) - 1 AS dgt
+        FROM doc_pairs)
+  WHERE dgt < 8
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n FROM labels GROUP BY label
+"""

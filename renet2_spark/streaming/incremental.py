@@ -32,12 +32,13 @@ def run_incremental(
     documents: DataFrame,
     store: CheckpointStore,
     buckets: int = 8,
+    corpus: str = "auto",
 ) -> DataFrame:
     """Score documents in `buckets` micro-batches with lineage."""
     return store.run_stage(
         "edges",
         documents,
-        lambda docs: build_edges(spark, docs),
+        lambda docs: build_edges(spark, docs, corpus=corpus),
         key_col="doc_id",
         buckets=buckets,
     )
