@@ -639,6 +639,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), n_planes=4, n_tables=8
         ),
         "dedup_survivors": lambda s, d: dd.dedup_survivors(_docs(s, d)),
+        # transitive near-dup semantics: connected components of the
+        # dup-pair graph (min-label propagation vs recursive-CTE
+        # oracle) + one-representative-per-cluster survivors
+        "dedup_components": lambda s, d: dd.dedup_components(_docs(s, d)),
+        "dedup_survivors_cc": lambda s, d: dd.dedup_survivors_cc(_docs(s, d)),
         # similarity search
         "ann_topk_brute": lambda s, d: sim.ann_topk_brute(_emb(s, d)),
         "ann_topk_lsh": lambda s, d: sim.ann_topk_lsh(_emb(s, d)),
@@ -723,6 +728,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": oracles.q_dedup_simhash(),
         "dedup_embedding": oracles.q_dedup_embedding(),
         "dedup_survivors": oracles.q_dedup_survivors(),
+        "dedup_components": oracles.q_dedup_components(),
+        "dedup_survivors_cc": oracles.q_dedup_survivors_cc(),
         "ann_topk_brute": oracles.q_ann_topk(),
         # IVF has an exact oracle at the driver's correctness scale:
         # the trained centroids are deterministic constants of the

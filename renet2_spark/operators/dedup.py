@@ -479,3 +479,98 @@ def dedup_survivors(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) 
         )
         .join(losers, "doc_id", "left_anti")
     )
+
+
+CC_MAX_ITERS = 50
+
+
+def dedup_components(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_iters: int = CC_MAX_ITERS,
+) -> DataFrame:
+    """(doc_id, component) — connected components of the >= threshold
+    ngram-jaccard near-dup graph; component = lexicographically
+    smallest doc_id reachable through dup pairs. Docs in no pair are
+    excluded (singletons are trivially their own component).
+
+    Why: dedup_survivors' pairwise keep-smallest rule over-deletes
+    transitive chains (A~B, B~C, A!~C drops BOTH B and C); the
+    standard warehouse-scale semantics — one KEPT representative per
+    near-duplicate CLUSTER — needs the transitive closure. This is
+    the semantics large corpus dedups (MinHash-clustered) implement.
+
+    Algorithm: distributed min-label propagation — init l(u) =
+    min(u, N(u)); each round joins labels across edges and keeps the
+    min; converges in O(graph diameter) rounds, each one shuffle on
+    doc_id. Near-dup clusters are dense (diameter is small even for
+    million-member clusters: every member shares a shingle bucket
+    with many others), so the round count stays single-digit at any
+    corpus size; `max_iters` fails loudly rather than silently
+    truncating a pathological chain. Each round localCheckpoints to
+    truncate the iterative lineage (no exponential plan growth); the
+    edge relation is persisted once and reused every round."""
+    pairs = dedup_ngram_jaccard(documents, threshold=threshold)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .persist()
+    )
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least("u", "_mn").alias("label"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iters):
+            nbr = (
+                edges.join(labels.withColumnRenamed("u", "v"), "v")
+                .groupBy("u")
+                .agg(F.min("label").alias("_nl"))
+            )
+            new = (
+                labels.withColumnRenamed("label", "_old")
+                .join(nbr, "u", "left")
+                .select(
+                    "u",
+                    F.least("_old", F.coalesce("_nl", "_old")).alias("label"),
+                    "_old",
+                )
+                .localCheckpoint()
+            )
+            changed = new.filter(F.col("label") != F.col("_old")).count()
+            labels = new.drop("_old")
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"dedup_components did not converge in {max_iters} rounds"
+            )
+    finally:
+        edges.unpersist()
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
+def dedup_survivors_cc(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Component-representative dedup: keep exactly ONE document (the
+    lexicographically smallest id) per near-dup connected component,
+    plus every doc in no dup pair. Output: (doc_id, n_chars) — same
+    shape as dedup_survivors, transitive semantics."""
+    comp = dedup_components(documents, threshold=threshold)
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select(
+        "doc_id"
+    )
+    return (
+        documents.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.length("text").cast("int").alias("n_chars"),
+        )
+        .join(losers, "doc_id", "left_anti")
+    )

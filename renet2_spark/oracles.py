@@ -1365,3 +1365,43 @@ labels AS (
 )
 SELECT label, CAST(count(*) AS BIGINT) AS n FROM labels GROUP BY label
 """
+
+
+def q_dedup_components(threshold: float = 0.7) -> str:
+    """Connected components of the ngram-jaccard near-dup graph via a
+    recursive transitive closure; component = min reachable doc_id —
+    mirrors dedup.dedup_components' min-label propagation fixpoint."""
+    return f"""
+WITH RECURSIVE {_jaccard_cte(threshold)},
+dpairs AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= {threshold}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM dpairs
+          UNION SELECT doc_b AS u, doc_a AS v FROM dpairs),
+reach(u, v) AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u
+"""
+
+
+def q_dedup_survivors_cc(threshold: float = 0.7) -> str:
+    """Component-representative dedup survivors (transitive): drop
+    every doc that is not its component's min id."""
+    return f"""
+WITH RECURSIVE {_jaccard_cte(threshold)},
+dpairs AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= {threshold}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM dpairs
+          UNION SELECT doc_b AS u, doc_a AS v FROM dpairs),
+reach(u, v) AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+),
+comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+losers AS (SELECT doc_id FROM comp WHERE doc_id != component)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+       CAST(length(d."text") AS INT) AS n_chars
+FROM documents d LEFT JOIN losers l ON CAST(d.doc_id AS VARCHAR) = l.doc_id
+WHERE l.doc_id IS NULL
+"""

@@ -193,3 +193,40 @@ def test_df_cap_shuffled_fallback_matches_broadcast(spark):
         map(tuple, dd.dedup_ngram_jaccard(docs, broadcast_dropped=False).collect())
     )
     assert a == b
+
+
+def test_dedup_components_transitive_chain(spark):
+    """Star/chain near-dup structure: 9 is similar to BOTH 1 and 5,
+    but 1 and 5 are not similar to each other. The pairwise
+    keep-smallest rule keeps {1, 5} (only 9 is a doc_b); the
+    connected-component semantics puts all three in one cluster and
+    keeps only its min representative {1}."""
+    from renet2_spark.operators.dedup import (
+        dedup_components,
+        dedup_ngram_jaccard,
+        dedup_survivors,
+        dedup_survivors_cc,
+    )
+
+    base = list("abcdefghijkl")  # 12 one-word tokens -> 8 shingles
+    docs = spark.createDataFrame(
+        [
+            ("1", " ".join(base)),
+            ("9", " ".join(base[:-1] + ["zz"])),
+            ("5", " ".join(["yy"] + base[1:-1] + ["zz"])),
+        ],
+        "doc_id string, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(docs).collect()
+    }
+    assert pairs == {("1", "9"), ("5", "9")}
+    comp = {
+        (r["doc_id"], r["component"])
+        for r in dedup_components(docs).collect()
+    }
+    assert comp == {("1", "1"), ("5", "1"), ("9", "1")}
+    assert {r["doc_id"] for r in dedup_survivors_cc(docs).collect()} == {"1"}
+    # the pairwise rule keeps 5 (it is never a doc_b) — documented gap
+    assert {r["doc_id"] for r in dedup_survivors(docs).collect()} == {"1", "5"}
