@@ -556,6 +556,18 @@ def q_label_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_distribution(synthetic_labels(pairs))
 
 
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 stratified downsampling, DETERMINISTIC variant: negatives
+    balanced to ~2x positives by the content-hash rule (exact oracle;
+    the seeded sampleBy variant stays for reference-faithful
+    randomness and is bounds-tested in pytest)."""
+    from renet2_spark.operators.caps import sample_balanced_hash
+    from renet2_spark.operators.labels import synthetic_labels
+
+    pairs = doc_pair_candidates(_mentions(spark, sf_dir))
+    return sample_balanced_hash(synthetic_labels(pairs))
+
+
 def q_pair_tensors_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Digest of the neural ENCODE stage (deterministic int tensors:
     vocab lookup, MX_id_n entity remap, feature codes 0-6, pad/
@@ -617,8 +629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # S6 table sink roundtrip — both against EXACT oracles
         "kg_edges_incremental": q_edges_incremental,
         "kg_nodes_table_roundtrip": q_nodes_table_roundtrip,
-        # A8 class-balance counts
+        # A8 class-balance counts + deterministic stratified sampling
         "kg_label_distribution": q_label_distribution,
+        "kg_sample_balanced": q_sample_balanced,
         # neural CNN+BiGRU ensemble variant (not SQL-expressible —
         # rows-only driver check; NumPy-oracle golden test in
         # tests/test_neural.py enforces P/R >= 0.95)
@@ -721,6 +734,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges_incremental": oracles.q_edges(),
         "kg_nodes_table_roundtrip": oracles.q_nodes(),
         "kg_label_distribution": oracles.q_label_distribution(),
+        "kg_sample_balanced": oracles.q_sample_balanced(),
         "dedup_exact": oracles.q_dedup_exact(),
         "dedup_ngram_jaccard": oracles.q_dedup_ngram(),
         "dedup_minhash_lsh": oracles.q_dedup_minhash(),

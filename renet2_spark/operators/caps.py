@@ -78,3 +78,55 @@ def sample_balanced(labels: DataFrame, ratio: float = 2.0,
         else:
             fractions[label] = 1.0
     return labels.sampleBy("label", fractions, seed=seed)
+
+
+def sample_balanced_hash(labels: DataFrame, ratio: float = 2.0,
+                         salt: str = "bal") -> DataFrame:
+    """Deterministic stratified class balancing: every label >= 1.0
+    row is kept; each label < 1.0 class is downsampled to ~ratio x
+    positives by the md5-prefix rule of curation.sample_hash — a row
+    is kept iff the first 4 hex digits of md5(salt:doc:gene:disease),
+    as an int, fall below fraction * 65536.
+
+    Same balancing intent as sample_balanced (reference
+    raw_handler.py:326-377) but content-hash-deterministic instead of
+    seeded-random: reproducible across engines (exact DuckDB oracle,
+    kg_sample_balanced), stable under corpus growth (a row's fate
+    never depends on other rows once the fraction is fixed), and
+    plan-side pure Catalyst — per-class fractions come from one tiny
+    aggregate broadcast back onto the row stream, no driver action."""
+    dist = labels.groupBy("label").agg(F.count("*").alias("_n"))
+    n_pos = dist.filter(F.col("label") >= 1.0).select(
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("_np")
+    )
+    fracs = dist.crossJoin(F.broadcast(n_pos)).select(
+        "label",
+        F.when(F.col("label") >= 1.0, F.lit(1.0))
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                F.lit(ratio) * F.col("_np") / F.col("_n"),
+            )
+        )
+        .alias("_frac"),
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(salt), "doc_id", "gene_id", "disease_id"
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
+    return (
+        labels.join(F.broadcast(fracs), "label")
+        .withColumn("_k", key)
+        .filter(F.col("_k") < F.col("_frac") * 65536)
+        .drop("_frac", "_k")
+        .select("doc_id", "gene_id", "disease_id", "label")
+    )

@@ -1405,3 +1405,39 @@ SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
 FROM documents d LEFT JOIN losers l ON CAST(d.doc_id AS VARCHAR) = l.doc_id
 WHERE l.doc_id IS NULL
 """
+
+
+def q_sample_balanced(ratio: float = 2.0, salt: str = "bal") -> str:
+    """Deterministic stratified class balancing — mirrors
+    caps.sample_balanced_hash (md5-prefix rule per label<1.0 class,
+    fraction = min(1, ratio * n_pos / n_class))."""
+    h = f"md5('{salt}:' || doc_id || ':' || gene_id || ':' || disease_id)"
+    digit = lambda k: f"(strpos('0123456789abcdef', substr({h}, {k}, 1)) - 1)"
+    val = f"((({digit(1)} * 16 + {digit(2)}) * 16 + {digit(3)}) * 16 + {digit(4)})"
+    return f"""
+WITH {TOKS},
+dg AS (SELECT DISTINCT doc_id, g.gene_id
+       FROM toks JOIN {gdict()} ON lower(token) = g.surface),
+dd AS (SELECT DISTINCT doc_id, d.disease_id
+       FROM toks JOIN {ddict()} ON lower(token) = d.surface),
+doc_pairs AS (SELECT doc_id, gene_id, disease_id FROM dg JOIN dd USING (doc_id)),
+labels AS (
+  SELECT doc_id, gene_id, disease_id,
+         CASE WHEN dgt < 4 THEN 1.0 WHEN dgt < 6 THEN 0.5 ELSE 0.0 END AS label
+  FROM (SELECT *,
+               strpos('0123456789abcdef',
+                      substr(md5(doc_id || ':' || gene_id || ':' || disease_id),
+                             1, 1)) - 1 AS dgt
+        FROM doc_pairs)
+  WHERE dgt < 8
+),
+dist AS (SELECT label, count(*) AS n FROM labels GROUP BY label),
+np AS (SELECT coalesce(sum(n), 0) AS n_pos FROM dist WHERE label >= 1.0),
+fr AS (SELECT label,
+              CASE WHEN label >= 1.0 THEN 1.0
+                   ELSE least(1.0, {ratio} * n_pos / n) END AS frac
+       FROM dist, np)
+SELECT l.doc_id, l.gene_id, l.disease_id, l.label
+FROM labels l JOIN fr USING (label)
+WHERE {val} < frac * 65536
+"""

@@ -195,3 +195,36 @@ def test_sample_hash_deterministic_and_stable(spark):
     # roughly the requested rate (binomial, 500 docs, generous bounds)
     n = docs.count()
     assert 0.10 * n <= len(a) <= 0.32 * n
+
+
+def test_sample_balanced_hash_properties(spark):
+    """Deterministic class balancing: all positives kept, each
+    negative class ~ratio x positives (binomial bounds), byte-stable
+    across runs, and per-row fate independent of the rest of the
+    class (content-hash rule)."""
+    from renet2_spark.operators.caps import sample_balanced_hash
+    from renet2_spark.operators.labels import synthetic_labels
+    from renet2_spark.operators.pairgen import doc_pair_candidates
+    from renet2_spark.operators.tagger import tag_mentions
+    from renet2_spark.corpus import derive_spans, sentences_from_spans
+    from renet2_spark.operators.normalize import canonicalize_mentions
+
+    m = canonicalize_mentions(
+        tag_mentions(sentences_from_spans(derive_spans(_docs(spark))), spark)
+    )
+    labels = synthetic_labels(doc_pair_candidates(m))
+    before = {r["label"]: r["n"] for r in labels.groupBy("label").agg(
+        F.count("*").alias("n")).collect()}
+    out = sample_balanced_hash(labels, ratio=2.0)
+    after = {r["label"]: r["n"] for r in out.groupBy("label").agg(
+        F.count("*").alias("n")).collect()}
+    n_pos = before[1.0]
+    assert after[1.0] == n_pos  # positives never sampled away
+    for lab in (0.0, 0.5):
+        if before.get(lab, 0) > 2 * n_pos:
+            # binomial around 2x positives, generous 3-sigma-ish bounds
+            assert 1.5 * n_pos <= after[lab] <= 2.5 * n_pos, (lab, after)
+    # deterministic: identical output on recompute
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, sample_balanced_hash(labels, ratio=2.0).collect()))
+    assert a == b
