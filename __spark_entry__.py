@@ -672,6 +672,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d).filter(F.pmod(F.col("doc_id"), F.lit(97)) == 3),
         ),
         "sample_hash": lambda s, d: cur.sample_hash(_docs(s, d)),
+        # the COMPOSED curation chain (quality -> CC dedup -> decon ->
+        # sample -> pack) as one declarative plan with one exact oracle
+        "curation_pipeline": lambda s, d: cur.curation_pipeline(
+            _docs(s, d).filter(F.pmod(F.col("doc_id"), F.lit(97)) != 3),
+            _docs(s, d).filter(F.pmod(F.col("doc_id"), F.lit(97)) == 3),
+        ),
         # text analysis
         "text_stats": lambda s, d: ts.text_stats(_docs(s, d)),
         "lang_id": lambda s, d: ts.lang_id(_docs(s, d)),
@@ -759,6 +765,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": oracles.q_pack_sequences(),
         "decontaminate": oracles.q_decontaminate(),
         "sample_hash": oracles.q_sample_hash(),
+        "curation_pipeline": oracles.q_curation_pipeline(),
         "text_stats": oracles.q_text_stats(),
         "lang_id": oracles.q_lang_id(),
         "token_counts": oracles.q_token_counts(),

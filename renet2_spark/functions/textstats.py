@@ -31,6 +31,20 @@ def _stop_hits(ws: Column) -> Column:
     return F.size(ws) - F.size(kept)
 
 
+def quality_score_col() -> Column:
+    """quality = min(1, n_tokens/100) * (1 - stopword_ratio), rounded —
+    the row-local composite both text_stats and the composed curation
+    pipeline filter on (no join needed to filter by quality)."""
+    ws = _words()
+    n_tok = F.size(ws)
+    stop = _stop_hits(ws)
+    return F.round(
+        F.least(F.lit(1.0), n_tok.cast("double") / F.lit(100.0))
+        * (F.lit(1.0) - stop.cast("double") / n_tok.cast("double")),
+        5,
+    )
+
+
 def text_stats(documents: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, n_chars, avg_token_len, stopword_ratio,
     quality_score). quality = min(1, n_tokens/100) * (1 - stopword_ratio)
@@ -43,11 +57,7 @@ def text_stats(documents: DataFrame) -> DataFrame:
         (n_chars - (n_tok - 1)).cast("double") / n_tok.cast("double"), 5
     )
     stop_ratio = F.round(stop.cast("double") / n_tok.cast("double"), 5)
-    quality = F.round(
-        F.least(F.lit(1.0), n_tok.cast("double") / F.lit(100.0))
-        * (F.lit(1.0) - stop.cast("double") / n_tok.cast("double")),
-        5,
-    )
+    quality = quality_score_col()
     return documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         n_tok.cast("int").alias("n_tokens"),

@@ -274,3 +274,56 @@ def sample_hash(
         .filter(F.col("_k") < threshold)
         .drop("_k")
     )
+
+
+def curation_pipeline(
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    min_quality: float = 0.3,
+    max_contamination: float = 0.2,
+    pct: float = 50.0,
+    budget: int = PACK_BUDGET,
+) -> DataFrame:
+    """End-to-end training-corpus curation — the composed stage chain
+    a real pipeline runs, as ONE declarative plan:
+
+      1. quality gate    — row-local composite score filter (pure
+                           Catalyst, zero shuffle, fuses into the scan)
+      2. near-dup removal — transitive connected-component dedup,
+                           keep one representative per cluster
+      3. decontamination — drop docs sharing >= max_contamination of
+                           their n-grams with the eval set
+      4. subsampling     — deterministic content-hash pct% sample
+      5. packing         — hierarchical concat-then-chunk into
+                           fixed-token-budget bins
+
+    Output: pack_sequences schema over the surviving documents.
+    Every stage is individually oracled; this query proves they
+    COMPOSE (one exact DuckDB oracle over the whole chain). All joins
+    are doc_id-keyed semi/anti joins (document-uniform, no skew)."""
+    from ..functions.textstats import quality_score_col
+    from .dedup import dedup_components
+
+    base = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+    )
+    d1 = base.filter(quality_score_col() >= F.lit(min_quality))
+    dup_losers = (
+        dedup_components(d1)
+        .filter(F.col("doc_id") != F.col("component"))
+        .select("doc_id")
+    )
+    d2 = d1.join(dup_losers, "doc_id", "left_anti")
+    dirty = (
+        decontaminate(d2, eval_docs)
+        .filter(F.col("contamination") >= max_contamination)
+        .select("doc_id")
+    )
+    d3 = d2.join(dirty, "doc_id", "left_anti")
+    d4 = d3.join(
+        sample_hash(d3, pct=pct).select("doc_id"), "doc_id", "left_semi"
+    )
+    return pack_sequences(d4, budget=budget)

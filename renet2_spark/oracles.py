@@ -589,11 +589,16 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 """
 
 
-def _jaccard_cte(threshold: float, max_shingle_df: int = MAX_SHINGLE_DF) -> str:
+def _jaccard_cte(
+    threshold: float,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+    src: str = "documents",
+) -> str:
     # max_shingle_df mirrors dedup.MAX_SHINGLE_DF: sizes over ALL
-    # shingles, intersection over df-capped shingles only
+    # shingles, intersection over df-capped shingles only; src lets the
+    # composed curation-pipeline oracle dedup a FILTERED doc set
     return f"""
-{SHINGLES},
+{SHINGLES.replace("FROM documents", "FROM " + src)},
 sizes AS (SELECT doc_id, CAST(count(*) AS INT) AS n_sh FROM shingles GROUP BY 1),
 capped AS (
   SELECT * FROM shingles
@@ -1440,4 +1445,82 @@ fr AS (SELECT label,
 SELECT l.doc_id, l.gene_id, l.disease_id, l.label
 FROM labels l JOIN fr USING (label)
 WHERE {val} < frac * 65536
+"""
+
+
+def q_curation_pipeline(
+    min_quality: float = 0.3,
+    max_cont: float = 0.2,
+    pct: float = 50.0,
+    budget: int = 256,
+    threshold: float = 0.7,
+    mod: int = 97,
+    rem: int = 3,
+    salt: str = "s0",
+) -> str:
+    """The composed curation chain (curation.curation_pipeline):
+    quality gate -> transitive CC dedup -> decontamination ->
+    deterministic sample -> pack, one exact SQL mirror."""
+    h = f"md5('{salt}:' || doc_id)"
+    digit = lambda k: f"(strpos('0123456789abcdef', substr({h}, {k}, 1)) - 1)"
+    val = f"((({digit(1)} * 16 + {digit(2)}) * 16 + {digit(3)}) * 16 + {digit(4)})"
+    samp_threshold = int(pct / 100.0 * 65536)
+    return f"""
+WITH RECURSIVE
+d0 AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "text", lang, source,
+              string_split("text", ' ') AS ws
+       FROM documents WHERE CAST(doc_id AS BIGINT) % {mod} != {rem}),
+dq AS (SELECT doc_id, "text", lang, source FROM d0
+       WHERE round(least(1.0, CAST(len(ws) AS DOUBLE) / 100.0)
+             * (1.0 - CAST(len(list_filter(ws, x -> x IN ('the', 'a')))
+                           AS DOUBLE) / CAST(len(ws) AS DOUBLE)), 5)
+             >= {min_quality}),
+{_jaccard_cte(threshold, src="dq")},
+dpairs AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= {threshold}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM dpairs
+          UNION SELECT doc_b AS u, doc_a AS v FROM dpairs),
+reach(u, v) AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+),
+comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+dup_losers AS (SELECT doc_id FROM comp WHERE doc_id != component),
+d2 AS (SELECT * FROM dq
+       WHERE doc_id NOT IN (SELECT doc_id FROM dup_losers)),
+tr_sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(ws, t.i + 1, t.i + 5), ' ') AS shingle
+  FROM (SELECT doc_id, string_split("text", ' ') AS ws FROM d2) w,
+       unnest(range(greatest(len(ws) - 5, 0) + 1)) AS t(i)
+),
+ev_sh AS (
+  SELECT DISTINCT array_to_string(list_slice(ws, t.i + 1, t.i + 5), ' ')
+         AS shingle
+  FROM (SELECT string_split("text", ' ') AS ws FROM documents
+        WHERE CAST(doc_id AS BIGINT) % {mod} = {rem}) w,
+       unnest(range(greatest(len(ws) - 5, 0) + 1)) AS t(i)
+),
+tr_sizes AS (SELECT doc_id, count(*) AS n_sh FROM tr_sh GROUP BY 1),
+tr_hits AS (SELECT t.doc_id, count(*) AS n_c
+            FROM tr_sh t JOIN ev_sh USING (shingle) GROUP BY 1),
+dirty AS (
+  SELECT s.doc_id FROM tr_sizes s LEFT JOIN tr_hits h ON s.doc_id = h.doc_id
+  WHERE round(CAST(coalesce(h.n_c, 0) AS DOUBLE) / CAST(s.n_sh AS DOUBLE), 5)
+        >= {max_cont}
+),
+d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+d4 AS (SELECT * FROM d3 WHERE {val} < {samp_threshold}),
+t4 AS (SELECT source, doc_id, CAST(doc_id AS BIGINT) AS ord,
+              CAST(len(string_split("text", ' ')) AS INT) AS n_tokens
+       FROM d4),
+s4 AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+         PARTITION BY source ORDER BY ord
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS start_offset
+       FROM t4)
+SELECT source, doc_id, n_tokens, start_offset,
+       CAST(start_offset // {budget} AS INT) AS bin_id,
+       CAST(start_offset % {budget} AS INT) AS bin_offset
+FROM s4
 """
