@@ -683,6 +683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lambda s, d: ts.lang_id(_docs(s, d)),
         "token_counts": lambda s, d: ts.token_counts(_docs(s, d)),
         "fingerprint": lambda s, d: ts.fingerprint(_docs(s, d)),
+        # intra-doc duplicate-ngram ratio (Gopher-style repetition)
+        "text_repetition": lambda s, d: ts.text_repetition(_docs(s, d)),
         # multimodal plumbing (binary payload -> mapInPandas decode)
         "media_features": lambda s, d: (
             _ship_pkg(s),
@@ -770,6 +772,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oracles.q_lang_id(),
         "token_counts": oracles.q_token_counts(),
         "fingerprint": oracles.q_fingerprint(),
+        "text_repetition": oracles.q_text_repetition(),
         "media_features": oracles.q_media_features(),
         "media_frames": oracles.q_media_frames(),
         "kg_pr_vs_strong_cooc": oracles.q_kg_pr_vs_strong_cooc(),

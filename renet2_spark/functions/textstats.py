@@ -138,3 +138,36 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         _fp("text").alias("fp"),
         F.md5("text").alias("text_md5"),
     )
+
+
+def text_repetition(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, n_grams, n_distinct, dup_ratio) — intra-document
+    repetition: fraction of word n-gram OCCURRENCES that are repeats
+    of an earlier n-gram in the same doc (the Gopher-style
+    duplicate-n-gram quality signal). Row-local: the gram array and
+    its distinct count are computed per row with array expressions —
+    no explode, no shuffle (the per-row HOF fold beats an
+    explode+groupBy reshuffle here for the same reason simhash's did,
+    BENCH.md round 3)."""
+    ws = F.split(F.col("text"), " ")
+    n_gr = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_gr - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+    )
+    # guard: sequence(0, -1+? ) — when n_gr == 0 the sequence above
+    # still emits index 0; slice it away with a CASE
+    n_dist = F.when(n_gr == 0, F.lit(0)).otherwise(
+        F.size(F.array_distinct(grams))
+    )
+    dup_ratio = F.when(n_gr == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (n_gr - n_dist).cast("double") / n_gr.cast("double"), 5
+        )
+    )
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        n_gr.cast("int").alias("n_grams"),
+        n_dist.cast("int").alias("n_distinct"),
+        dup_ratio.alias("dup_ratio"),
+    )

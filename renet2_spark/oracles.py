@@ -1524,3 +1524,28 @@ SELECT source, doc_id, n_tokens, start_offset,
        CAST(start_offset % {budget} AS INT) AS bin_offset
 FROM s4
 """
+
+
+def q_text_repetition(n: int = 3) -> str:
+    """Intra-doc duplicate-n-gram ratio — mirrors
+    textstats.text_repetition."""
+    return f"""
+WITH w AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  string_split("text", ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         greatest(len(ws) - {n - 1}, 0) AS n_grams,
+         CASE WHEN len(ws) < {n} THEN 0
+              ELSE len(list_distinct(list_transform(
+                     range(greatest(len(ws) - {n - 1}, 0)),
+                     i -> array_to_string(list_slice(ws, i + 1, i + {n}), ' '))))
+         END AS n_distinct
+  FROM w
+)
+SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+       CAST(n_distinct AS INT) AS n_distinct,
+       CASE WHEN n_grams = 0 THEN 0.0
+            ELSE round(CAST(n_grams - n_distinct AS DOUBLE)
+                       / CAST(n_grams AS DOUBLE), 5) END AS dup_ratio
+FROM g
+"""

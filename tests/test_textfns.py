@@ -198,3 +198,23 @@ def test_filter_rnn_entity_punct_survives(spark):
     got = [r["token"] for r in
            filter_rnn(toks, ments).orderBy("tok_no").collect()]
     assert got == ["(", "x"]
+
+
+def test_text_repetition_edges(spark):
+    """Repetition signal: fully repetitive doc scores high, distinct
+    doc scores 0, docs shorter than n grams score (0, 0, 0.0)."""
+    from renet2_spark.functions.textstats import text_repetition
+
+    docs = spark.createDataFrame(
+        [
+            ("1", "a b c a b c a b c"),   # grams: 7, distinct: 3
+            ("2", "q w e r t y u"),       # all distinct
+            ("3", "x y"),                 # shorter than one 3-gram
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in text_repetition(docs).collect()}
+    assert (got["1"]["n_grams"], got["1"]["n_distinct"]) == (7, 3)
+    assert abs(got["1"]["dup_ratio"] - round(4 / 7, 5)) < 1e-9
+    assert got["2"]["dup_ratio"] == 0.0
+    assert (got["3"]["n_grams"], got["3"]["n_distinct"], got["3"]["dup_ratio"]) == (0, 0, 0.0)
