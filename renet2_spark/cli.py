@@ -100,6 +100,30 @@ def cmd_normalize_ann(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """documents parquet -> curated + packed training corpus (the
+    beyond-reference curation chain: quality gate -> transitive
+    near-dup dedup -> optional eval decontamination -> optional
+    deterministic sample -> token-budget packing)."""
+    from .operators.curation import curation_pipeline
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    ev = spark.read.parquet(args.eval) if args.eval else None
+    out = curation_pipeline(
+        docs,
+        ev,
+        min_quality=args.min_quality,
+        max_contamination=args.max_contamination,
+        pct=args.pct,
+        budget=args.budget,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"curated + packed {n} documents to {args.output}")
+    return 0
+
+
 def cmd_evaluate(args) -> int:
     """P/R/F1 between predicted and gold triple tables (reference
     benchmark/calculate_metrics_with_input.py)."""
@@ -153,6 +177,26 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--input", required=True)
     sp.add_argument("--output", required=True)
     sp.set_defaults(fn=cmd_normalize_ann)
+
+    sp = sub.add_parser(
+        "curate",
+        help="quality-filter, dedup, decontaminate, sample and pack "
+        "a training corpus",
+    )
+    sp.add_argument("--input", required=True, help="documents parquet")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--eval", default=None,
+                    help="eval-set parquet for decontamination (optional)")
+    sp.add_argument("--min-quality", type=float, default=0.3,
+                    dest="min_quality")
+    sp.add_argument("--max-contamination", type=float, default=0.2,
+                    dest="max_contamination")
+    sp.add_argument("--pct", type=float, default=100.0,
+                    help="deterministic hash-sample percentage "
+                         "(100 = keep all)")
+    sp.add_argument("--budget", type=int, default=256,
+                    help="tokens per packed context window")
+    sp.set_defaults(fn=cmd_curate)
 
     sp = sub.add_parser("evaluate", help="P/R/F1 of predicted vs gold triples")
     sp.add_argument("--pred", required=True)

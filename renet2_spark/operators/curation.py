@@ -278,7 +278,7 @@ def sample_hash(
 
 def curation_pipeline(
     documents: DataFrame,
-    eval_docs: DataFrame,
+    eval_docs: DataFrame | None,
     min_quality: float = 0.3,
     max_contamination: float = 0.2,
     pct: float = 50.0,
@@ -317,13 +317,19 @@ def curation_pipeline(
         .select("doc_id")
     )
     d2 = d1.join(dup_losers, "doc_id", "left_anti")
-    dirty = (
-        decontaminate(d2, eval_docs)
-        .filter(F.col("contamination") >= max_contamination)
-        .select("doc_id")
-    )
-    d3 = d2.join(dirty, "doc_id", "left_anti")
-    d4 = d3.join(
-        sample_hash(d3, pct=pct).select("doc_id"), "doc_id", "left_semi"
-    )
+    if eval_docs is not None:
+        dirty = (
+            decontaminate(d2, eval_docs)
+            .filter(F.col("contamination") >= max_contamination)
+            .select("doc_id")
+        )
+        d3 = d2.join(dirty, "doc_id", "left_anti")
+    else:
+        d3 = d2  # no eval set -> decontamination stage skipped
+    if pct < 100.0:
+        d4 = d3.join(
+            sample_hash(d3, pct=pct).select("doc_id"), "doc_id", "left_semi"
+        )
+    else:
+        d4 = d3
     return pack_sequences(d4, budget=budget)

@@ -54,3 +54,31 @@ def test_cli_evaluate(spark, capsys):
     outp = capsys.readouterr().out
     assert "precision=0.5" in outp and "recall=1.0" in outp
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cli_curate(spark, capsys):
+    """curate subcommand: full chain with an eval set, plus the
+    eval-less + no-sample variant (optional stages skipped)."""
+    from renet2_spark.cli import main
+    from tests.conftest import SF_SMOKE
+
+    d = tempfile.mkdtemp(prefix="cli_")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    docs.filter("doc_id % 97 != 3").write.parquet(d + "/train")
+    docs.filter("doc_id % 97 = 3").write.parquet(d + "/eval")
+    assert main([
+        "curate", "--input", d + "/train", "--output", d + "/packed",
+        "--eval", d + "/eval", "--pct", "50",
+    ]) == 0
+    packed = spark.read.parquet(d + "/packed")
+    n_full = packed.count()
+    assert n_full > 0
+    assert set(packed.columns) == {
+        "source", "doc_id", "n_tokens", "start_offset", "bin_id", "bin_offset"
+    }
+    # without eval + without sampling: strictly more docs survive
+    assert main([
+        "curate", "--input", d + "/train", "--output", d + "/packed2",
+    ]) == 0
+    assert spark.read.parquet(d + "/packed2").count() > n_full
+    shutil.rmtree(d, ignore_errors=True)
