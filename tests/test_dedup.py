@@ -230,3 +230,27 @@ def test_dedup_components_transitive_chain(spark):
     assert {r["doc_id"] for r in dedup_survivors_cc(docs).collect()} == {"1"}
     # the pairwise rule keeps 5 (it is never a doc_b) — documented gap
     assert {r["doc_id"] for r in dedup_survivors(docs).collect()} == {"1", "5"}
+
+
+def test_dedup_components_long_chain_converges(spark):
+    """A 6-doc similarity CHAIN (adjacent docs >= 0.7 jaccard,
+    non-adjacent < 0.7) has graph diameter 5 — the propagation loop
+    must run multiple rounds and still land every doc in the single
+    component rooted at '0'; max_iters=1 must fail loudly instead of
+    silently truncating."""
+    import pytest as _pytest
+
+    from renet2_spark.operators.dedup import dedup_components
+
+    words = [f"w{i}" for i in range(20)]
+    docs = spark.createDataFrame(
+        [(str(k), " ".join(words[k : k + 12])) for k in range(6)],
+        "doc_id string, text string",
+    )
+    comp = {
+        (r["doc_id"], r["component"])
+        for r in dedup_components(docs).collect()
+    }
+    assert comp == {(str(k), "0") for k in range(6)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(docs, max_iters=1).collect()
