@@ -304,11 +304,20 @@ def curation_pipeline(
     from ..functions.textstats import quality_score_col
     from .dedup import dedup_components
 
+    # tolerate minimal (doc_id, text) corpora: lang/source are only
+    # carried through (source keys the packing; single default source
+    # = one global packing order, correct just less parallel)
+    lang = F.col("lang") if "lang" in documents.columns else F.lit("und")
+    source = (
+        F.col("source")
+        if "source" in documents.columns
+        else F.lit("default")
+    )
     base = documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         "text",
-        "lang",
-        "source",
+        lang.alias("lang"),
+        source.alias("source"),
     )
     d1 = base.filter(quality_score_col() >= F.lit(min_quality))
     dup_losers = (

@@ -228,3 +228,15 @@ def test_sample_balanced_hash_properties(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, sample_balanced_hash(labels, ratio=2.0).collect()))
     assert a == b
+
+
+def test_curation_pipeline_minimal_schema(spark):
+    """curation_pipeline must accept a bare (doc_id, text) corpus —
+    lang/source get defaults (single-source packing)."""
+    docs = spark.createDataFrame(
+        [(str(i), " ".join(f"w{j}" for j in range(i % 40 + 80)))
+         for i in range(30)],
+        "doc_id string, text string",
+    )
+    rows = cur.curation_pipeline(docs, None, pct=100.0).collect()
+    assert rows and all(r["source"] == "default" for r in rows)
