@@ -49,6 +49,21 @@ from .dedup import NGRAM, doc_shingles
 
 PACK_BUDGET = 256  # tokens per packed context window
 
+# persisted generations of curation_pipeline's shared shingle table —
+# rotated at the start of each call (no persist without release;
+# mirrors plans.pipeline._NEURAL_CACHES)
+_CURATION_CACHES: list[DataFrame] = []
+
+
+def release_curation_caches() -> None:
+    while _CURATION_CACHES:
+        _CURATION_CACHES.pop().unpersist()
+
+
+def _cache(df: DataFrame) -> DataFrame:
+    _CURATION_CACHES.append(df.persist())
+    return df
+
 
 def _pack_base(documents: DataFrame) -> DataFrame:
     """Slim packing projection: (source, doc_id, _ord, n_tokens).
@@ -116,9 +131,15 @@ def pack_sequences(
     lexicographic order) and emit a RuntimeWarning: deterministic and
     correct, but not segment-parallel within a source."""
     if segments is None:
-        segments = int(
-            documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        # platforms running AQE can set this conf to the string 'auto'
+        # (r4 ADVICE) — fall back to a sane constant instead of raising
+        raw = documents.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"
         )
+        try:
+            segments = int(raw)
+        except (TypeError, ValueError):
+            segments = 32
     segments = max(int(segments), 1)
     base = _pack_base(documents)
     stats = {
@@ -155,20 +176,25 @@ def pack_sequences(
         )
         return _finish_pack(packed, budget)
 
-    # deterministic id-range segmentation: span per source as a literal
-    # CASE map (one row per source — bounded; a warehouse deployment
-    # has O(file groups) sources)
-    lo_expr = F.lit(0)
-    span_expr = F.lit(1)
-    for src, r in stats.items():
-        lo, hi = (r["lo"] or 0), (r["hi"] or 0)
-        span = max(1, -(-(hi - lo + 1) // segments))  # ceil
-        lo_expr = F.when(F.col("source") == src, F.lit(lo)).otherwise(lo_expr)
-        span_expr = F.when(F.col("source") == src, F.lit(span)).otherwise(
-            span_expr
-        )
-    seg = base.withColumn(
-        "_seg", ((F.col("_ord") - lo_expr) / span_expr).cast("long")
+    # deterministic id-range segmentation. The per-source (lo, span)
+    # map rides in as a BROADCAST JOIN on a tiny stats table (one row
+    # per source) — NOT a per-source literal CASE chain (r4 verdict #4:
+    # the CASE map grew the expression tree linearly in the number of
+    # sources; a ten-thousand-source warehouse would compile a
+    # pathological plan). Plan size is now constant in source count.
+    src_stats = documents.sparkSession.createDataFrame(
+        [
+            (
+                src,
+                int(r["lo"] or 0),
+                max(1, -(-((r["hi"] or 0) - (r["lo"] or 0) + 1) // segments)),
+            )
+            for src, r in stats.items()
+        ],
+        "source string, _lo long, _span long",
+    )
+    seg = base.join(F.broadcast(src_stats), "source").withColumn(
+        "_seg", ((F.col("_ord") - F.col("_lo")) / F.col("_span")).cast("long")
     )
     w_in = (
         W.partitionBy("source", "_seg")
@@ -205,6 +231,7 @@ def decontaminate(
     eval_docs: DataFrame,
     n: int = NGRAM,
     broadcast_eval: bool = True,
+    train_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_contaminated, n_sh, contamination) — per train doc,
     how many of its distinct word n-grams appear in ANY eval doc.
@@ -219,11 +246,21 @@ def decontaminate(
     broadcast_eval=False: the join strategy is left to Catalyst/AQE,
     which shuffles BOTH sides on shingle above the auto-broadcast
     threshold instead of OOMing the driver. Results are identical
-    (asserted by test_decontaminate_shuffled_fallback_matches)."""
+    (asserted by test_decontaminate_shuffled_fallback_matches).
+
+    `train_shingles` optionally injects a precomputed (doc_id,
+    shingle) index for `documents` (shared-pass hook, r4 verdict #2 —
+    curation_pipeline feeds both this stage and the dedup stage from
+    ONE persisted shingle table); must equal
+    doc_shingles(documents, n)."""
     eval_sh = doc_shingles(eval_docs, n).select("shingle").distinct()
     if broadcast_eval:
         eval_sh = F.broadcast(eval_sh)
-    train_sh = doc_shingles(documents, n)
+    train_sh = (
+        train_shingles
+        if train_shingles is not None
+        else doc_shingles(documents, n)
+    )
     hits = (
         train_sh.join(eval_sh, "shingle")
         .groupBy("doc_id")
@@ -300,9 +337,20 @@ def curation_pipeline(
     Output: pack_sequences schema over the surviving documents.
     Every stage is individually oracled; this query proves they
     COMPOSE (one exact DuckDB oracle over the whole chain). All joins
-    are doc_id-keyed semi/anti joins (document-uniform, no skew)."""
+    are doc_id-keyed semi/anti joins (document-uniform, no skew).
+
+    Shared shingle pass (r4 verdict #2): the quality-gated corpus is
+    shingled ONCE into a persisted (doc_id, shingle) table that feeds
+    BOTH the CC-dedup stage and the decontamination stage (the decon
+    side narrows it to dedup survivors with a doc_id semi-join) — at
+    the 100 TB target the explode-the-corpus shingle pass is the
+    chain's dominant cost and used to run twice. The persisted
+    generation is rotated per call via release_curation_caches()
+    (same hygiene as plans.pipeline's neural caches)."""
     from ..functions.textstats import quality_score_col
-    from .dedup import dedup_components
+    from .dedup import dedup_components, doc_shingles
+
+    release_curation_caches()
 
     # tolerate minimal (doc_id, text) corpora: lang/source are only
     # carried through (source keys the packing; single default source
@@ -320,15 +368,21 @@ def curation_pipeline(
         source.alias("source"),
     )
     d1 = base.filter(quality_score_col() >= F.lit(min_quality))
+    # ONE shingle explode over the quality-gated corpus, shared by the
+    # dedup and decontamination stages (dedup_components runs actions
+    # during its label-propagation loop, so the persisted table is
+    # materialized before the decon branch is even constructed)
+    sh1 = _cache(doc_shingles(d1))
     dup_losers = (
-        dedup_components(d1)
+        dedup_components(d1, shingles=sh1)
         .filter(F.col("doc_id") != F.col("component"))
         .select("doc_id")
     )
     d2 = d1.join(dup_losers, "doc_id", "left_anti")
     if eval_docs is not None:
+        sh2 = sh1.join(d2.select("doc_id"), "doc_id", "left_semi")
         dirty = (
-            decontaminate(d2, eval_docs)
+            decontaminate(d2, eval_docs, train_shingles=sh2)
             .filter(F.col("contamination") >= max_contamination)
             .select("doc_id")
         )

@@ -196,6 +196,7 @@ def dedup_ngram_jaccard(
     threshold: float = JACCARD_THRESHOLD,
     max_shingle_docs: int | None = MAX_SHINGLE_DF,
     broadcast_dropped: bool = True,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact word-ngram Jaccard via inverted index:
     (doc_a, doc_b, n_common, n_a, n_b, jaccard).
@@ -204,8 +205,14 @@ def dedup_ngram_jaccard(
     (n_a/n_b) are computed over ALL shingles, intersections over capped
     shingles only — jaccard is under-counted for pairs whose overlap is
     exclusively stop-shingles, never over-counted. The DuckDB oracle
-    applies the identical cap."""
-    sh = doc_shingles(documents, n)
+    applies the identical cap.
+
+    `shingles` optionally injects a precomputed (doc_id, shingle)
+    index for `documents` (e.g. a persisted table shared with a
+    decontamination stage — r4 verdict #2: the composed curation chain
+    used to explode the corpus twice); it must equal
+    doc_shingles(documents, n). Set sizes stay row-local regardless."""
+    sh = shingles if shingles is not None else doc_shingles(documents, n)
     sizes = doc_shingle_counts(documents, n)
     if max_shingle_docs is not None:
         sh = df_capped_shingles(sh, max_shingle_docs, broadcast_dropped)
@@ -488,6 +495,8 @@ def dedup_components(
     documents: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     max_iters: int = CC_MAX_ITERS,
+    shingles: DataFrame | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """(doc_id, component) — connected components of the >= threshold
     ngram-jaccard near-dup graph; component = lexicographically
@@ -507,10 +516,35 @@ def dedup_components(
     million-member clusters: every member shares a shingle bucket
     with many others), so the round count stays single-digit at any
     corpus size; `max_iters` fails loudly rather than silently
-    truncating a pathological chain. Each round localCheckpoints to
+    truncating a pathological chain. Each round checkpoints to
     truncate the iterative lineage (no exponential plan growth); the
-    edge relation is persisted once and reused every round."""
-    pairs = dedup_ngram_jaccard(documents, threshold=threshold)
+    edge relation is persisted once and reused every round.
+
+    Checkpoint durability (r4 verdict #3): the default localCheckpoint
+    stores blocks on EXECUTORS — fastest, fine on local[...], but an
+    executor loss mid-iteration kills the job on a real cluster (the
+    truncated lineage cannot be recomputed). For cluster deployments
+    pass reliable_checkpoint=True to write each round's labels through
+    the session's checkpoint dir (sparkContext.setCheckpointDir — an
+    HDFS/object-store path in production) via reliable .checkpoint();
+    raises up front if no checkpoint dir is configured. Results are
+    identical either way (asserted by
+    test_dedup_components_reliable_checkpoint_matches).
+
+    `shingles` forwards to dedup_ngram_jaccard (shared-pass hook —
+    r4 verdict #2)."""
+    if reliable_checkpoint:
+        sc = documents.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise RuntimeError(
+                "dedup_components(reliable_checkpoint=True) needs "
+                "sparkContext.setCheckpointDir(<fault-tolerant path>)"
+            )
+        _ckpt = lambda df: df.checkpoint()
+    else:
+        _ckpt = lambda df: df.localCheckpoint()
+    pairs = dedup_ngram_jaccard(documents, threshold=threshold,
+                                shingles=shingles)
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(
@@ -518,11 +552,10 @@ def dedup_components(
         )
         .persist()
     )
-    labels = (
+    labels = _ckpt(
         edges.groupBy("u")
         .agg(F.min("v").alias("_mn"))
         .select("u", F.least("u", "_mn").alias("label"))
-        .localCheckpoint()
     )
     try:
         for _ in range(max_iters):
@@ -531,7 +564,7 @@ def dedup_components(
                 .groupBy("u")
                 .agg(F.min("label").alias("_nl"))
             )
-            new = (
+            new = _ckpt(
                 labels.withColumnRenamed("label", "_old")
                 .join(nbr, "u", "left")
                 .select(
@@ -539,7 +572,6 @@ def dedup_components(
                     F.least("_old", F.coalesce("_nl", "_old")).alias("label"),
                     "_old",
                 )
-                .localCheckpoint()
             )
             changed = new.filter(F.col("label") != F.col("_old")).count()
             labels = new.drop("_old")

@@ -278,9 +278,24 @@ def tokenize_raw_sentences(sentences: DataFrame) -> DataFrame:
         -1. Boundary rule: an alnum token edge must not touch an alnum
         source char (rewritten fragments get no partial-word span);
         punctuation edges are exempt (',' between digits, clitic "'s"
-        after its host word are real occurrences)."""
-        pos = sentence.find(tok, cur)
+        after its host word are real occurrences).
+
+        Bounded retry (r4 ADVICE): boundary-failed retries may cross at
+        most ONE whitespace gap beyond the first raw find. A legitimate
+        retry happens when the first find lands inside the immediately
+        adjacent longer word ('a' inside 'banana a'), which never skips
+        more than one gap; an occurrence further away is almost surely
+        a DIFFERENT occurrence of a tokenizer-REWRITTEN fragment ('can'
+        from 'cannot' matching a later standalone 'can') — accepting it
+        would advance the cursor past every intervening token and
+        silently drop their mentions. Such tokens now resolve to -1
+        (dropped by verify) and leave the cursor anchored for the
+        tokens that follow."""
+        first = sentence.find(tok, cur)
+        pos = first
         while pos >= 0:
+            if sentence.count(" ", first, pos) > 1:
+                return -1
             end = pos + len(tok)
             ok_lead = not (
                 tok[0].isalnum() and pos > 0 and sentence[pos - 1].isalnum()

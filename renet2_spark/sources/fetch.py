@@ -67,17 +67,32 @@ def urllib_transport(
 
         url = url_template.format(id=doc_id)
         for attempt in range(max(1, int(retries))):
+            wait = backoff * (attempt + 1) if backoff else 0.0
             try:
                 with urllib.request.urlopen(url, timeout=timeout) as resp:
                     body = resp.read().decode("utf-8", "replace")
                 return (STATUS_HIT, body) if body.strip() else (STATUS_EMPTY, "")
             except urllib.error.HTTPError as e:
-                if 400 <= e.code < 500:
+                # 408 (timeout) and 429 (rate limit) are transient ->
+                # retry like 5xx, honoring Retry-After on 429 when the
+                # server sends one (r4 ADVICE); other 4xx cannot succeed
+                # on retry -> immediate miss
+                if e.code in (408, 429):
+                    ra = e.headers.get("Retry-After") if e.headers else None
+                    if ra and str(ra).strip().isdigit():
+                        wait = min(float(ra), 30.0)
+                elif 400 <= e.code < 500:
                     return STATUS_MISS, ""
-            except Exception:
+            except (urllib.error.URLError, OSError, TimeoutError):
+                # transport-level failures (DNS, refused, reset,
+                # socket timeout) retry; anything else — e.g. a
+                # malformed url_template raising ValueError — is a
+                # programming error and must RAISE, not report miss
+                # (r4 ADVICE: the bare `except Exception` here
+                # converted bugs into silent retries-then-miss)
                 pass
-            if backoff and attempt + 1 < max(1, int(retries)):
-                time.sleep(backoff * (attempt + 1))
+            if wait and attempt + 1 < max(1, int(retries)):
+                time.sleep(wait)
         return STATUS_MISS, ""
 
     return fetch

@@ -230,6 +230,71 @@ def test_sample_balanced_hash_properties(spark):
     assert a == b
 
 
+def test_curation_pipeline_single_shingle_pass(spark, monkeypatch):
+    """r4 verdict #2: the composed chain must explode the train corpus
+    into shingles exactly ONCE (a persisted table shared by the dedup
+    and decontamination stages); the only other shingle pass is the
+    tiny eval set. The persisted generation is rotated per call."""
+    from renet2_spark.operators import dedup as dd
+
+    calls = []
+    real = dd.doc_shingles
+
+    def counting(documents, n=dd.NGRAM):
+        calls.append(1)
+        return real(documents, n)
+
+    monkeypatch.setattr(dd, "doc_shingles", counting)
+    monkeypatch.setattr(cur, "doc_shingles", counting)
+    docs = _docs(spark)
+    tr = docs.filter("doc_id % 97 != 3")
+    ev = docs.filter("doc_id % 97 = 3")
+    out = cur.curation_pipeline(tr, ev)
+    assert out.count() > 0
+    assert len(calls) == 2  # ONE train-side pass + the eval set
+    assert len(cur._CURATION_CACHES) == 1  # the shared table, persisted
+    # generation rotated (and released) on the next call
+    cur.curation_pipeline(tr, ev)
+    assert len(cur._CURATION_CACHES) == 1
+    cur.release_curation_caches()
+    assert not cur._CURATION_CACHES
+
+
+def test_pack_sequences_many_sources_bounded_plan(spark):
+    """r4 verdict #4: the per-source (lo, span) map rides in as a
+    broadcast join, so the compiled plan stays CONSTANT-size as source
+    count grows (the old literal CASE chain grew linearly and would
+    blow up at ten-thousand-source warehouses). 1,000 sources must
+    compile to a plan no bigger than 10 sources', and values must
+    still match the reference packing."""
+    rows_small = [
+        (str(i), "w " * (i % 5 + 1), "en", f"s{i % 10}") for i in range(60)
+    ]
+    rows_big = [
+        (str(i), "w " * (i % 5 + 1), "en", f"s{i % 1000}")
+        for i in range(1000)
+    ]
+    mk = lambda rows: spark.createDataFrame(
+        [(d, t.strip(), la, s) for d, t, la, s in rows],
+        "doc_id string, text string, lang string, source string",
+    )
+    small = cur.pack_sequences(mk(rows_small), segments=8)
+    big = cur.pack_sequences(mk(rows_big), segments=8)
+    plan_small = small._jdf.queryExecution().optimizedPlan().toString()
+    plan_big = big._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan_big) < 2 * len(plan_small) + 2000
+    flat = [
+        (r["source"], r["doc_id"], len(r["text"].split(" ")))
+        for r in mk(rows_big).collect()
+    ]
+    want = _pack_expected(flat, key=int)
+    got = {
+        (r["source"], r["doc_id"]): r["start_offset"]
+        for r in big.collect()
+    }
+    assert got == want
+
+
 def test_curation_pipeline_minimal_schema(spark):
     """curation_pipeline must accept a bare (doc_id, text) corpus —
     lang/source get defaults (single-source packing)."""

@@ -52,8 +52,11 @@ def test_probe_contract(spark):
     assert pipeline.probe_corpus_contract(docs) is True
     assert pipeline.probe_corpus_contract(raw_text_twin(docs)) is False
     assert pipeline.probe_corpus_contract(_var_df(spark)) is False
-    # decision + sample size are recorded for observability
-    assert pipeline.last_probe == {"packed": False, "sampled_docs": 2}
+    # decision + sample size are RETURNED to the caller (r4 ADVICE:
+    # no module-global — concurrent probes can't clobber each other)
+    info = pipeline.probe_corpus_contract_info(_var_df(spark))
+    assert info == {"packed": False, "sampled_docs": 2}
+    assert not hasattr(pipeline, "last_probe")
 
 
 def test_probe_rejects_mixed_corpus(spark):
@@ -226,6 +229,41 @@ def test_rewritten_fragments_get_no_partial_word_span(spark):
         for r in tag_mentions_raw(docs, spark, entity_dict=trap).collect()
     }
     assert got == {"scan"}
+
+
+def test_rewrite_fragment_does_not_overshoot_cursor(spark):
+    """r4 ADVICE: a rewritten fragment ('can' from 'cannot') with a
+    later boundary-valid occurrence in the SAME sentence must not jump
+    the cursor past the intervening tokens — the retry window is capped
+    at one whitespace gap, so the fragment resolves -1 and every
+    legitimate token (including the later standalone 'can'/'not')
+    keeps its true span."""
+    from renet2_spark.functions.text import sentences_from_raw_text
+    from renet2_spark.operators.tagger import tokenize_raw_sentences
+
+    docs = spark.createDataFrame(
+        [("1", "You cannot run but can not walk .")],
+        "doc_id string, text string",
+    )
+    rows = sorted(
+        (
+            (r["tok_no"], r["token"], r["start"], r["end"])
+            for r in tokenize_raw_sentences(
+                sentences_from_raw_text(docs)
+            ).collect()
+        )
+    )
+    assert rows == [
+        (0, "You", 0, 3),
+        (1, "can", -1, -1),   # fragment of 'cannot' — no span
+        (2, "not", -1, -1),   # fragment of 'cannot' — no span
+        (3, "run", 11, 14),   # previously stranded by the overshoot
+        (4, "but", 15, 18),
+        (5, "can", 19, 22),   # the REAL standalone 'can'
+        (6, "not", 23, 26),
+        (7, "walk", 27, 31),
+        (8, ".", 32, 33),
+    ]
 
 
 def test_cli_predict_routes_raw_on_variable_corpus(spark):
