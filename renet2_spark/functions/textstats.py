@@ -116,6 +116,16 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     formulation was an interpreted `aggregate` HOF lambda, the slowest
     class Spark offers). int64 never overflows: h < 1e9+7, so
     h*31 + val < 2^63. Embarrassingly parallel across docs."""
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        fingerprint_udf()("text").alias("fp"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+def fingerprint_udf():
+    """The rolling-hash pandas UDF as a reusable callable — shared by
+    :func:`fingerprint` and :func:`text_profile`."""
     mod, base = FP_MOD, FP_BASE
 
     @F.pandas_udf("long")
@@ -133,11 +143,7 @@ def fingerprint(documents: DataFrame) -> DataFrame:
             out[i] = h
         return pd.Series(out, dtype="Int64")
 
-    return documents.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        _fp("text").alias("fp"),
-        F.md5("text").alias("text_md5"),
-    )
+    return _fp
 
 
 def text_repetition(documents: DataFrame, n: int = 3) -> DataFrame:
@@ -170,4 +176,74 @@ def text_repetition(documents: DataFrame, n: int = 3) -> DataFrame:
         n_gr.cast("int").alias("n_grams"),
         n_dist.cast("int").alias("n_distinct"),
         dup_ratio.alias("dup_ratio"),
+    )
+
+
+def text_profile(documents: DataFrame, rep_n: int = 3) -> DataFrame:
+    """The FULL per-document text-analysis profile as ONE row-local
+    projection — the composite the consolidated driver query
+    `text_profile` hash-checks (r4 verdict #1: six single-operator
+    queries consolidated so the whole contract fits the driver's
+    50-query correctness window).
+
+    Columns are the union of text_stats + lang_id + token_counts +
+    fingerprint + text_repetition + simhash, with each operator's
+    original names kept (ws_tokens intentionally duplicates n_tokens —
+    both operators' contracts are preserved). One scan, zero shuffle,
+    zero joins: every signal is computed per row, which is also the
+    right 100 TB shape (at scale these run fused into the same pass).
+    The only Python is fingerprint's Arrow-batched Horner fold; the
+    simhash fold is the measured-fastest formulation (BENCH.md r3)."""
+    from ..operators.dedup import simhash_col
+
+    ws = _words()
+    n_tok = F.size(ws)
+    n_chars = F.length("text")
+    stop = _stop_hits(ws)
+    n_gr = F.greatest(n_tok - (rep_n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_gr - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(ws, i + 1, rep_n), " "),
+    )
+    n_dist = F.when(n_gr == 0, F.lit(0)).otherwise(
+        F.size(F.array_distinct(grams))
+    )
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        # text_stats
+        n_tok.cast("int").alias("n_tokens"),
+        n_chars.cast("int").alias("n_chars"),
+        F.round(
+            (n_chars - (n_tok - 1)).cast("double") / n_tok.cast("double"), 5
+        ).alias("avg_token_len"),
+        F.round(stop.cast("double") / n_tok.cast("double"), 5).alias(
+            "stopword_ratio"
+        ),
+        quality_score_col().alias("quality_score"),
+        # lang_id
+        F.col("lang").alias("lang"),
+        F.when(stop > 0, F.lit("en")).otherwise(F.lit("und")).alias(
+            "lang_pred"
+        ),
+        F.round(stop.cast("double") / n_tok.cast("double"), 5).alias(
+            "lang_conf"
+        ),
+        # token_counts
+        n_tok.cast("int").alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[^ ]{1,4}"))
+        .cast("int")
+        .alias("subword_tokens"),
+        # fingerprint
+        fingerprint_udf()("text").alias("fp"),
+        F.md5("text").alias("text_md5"),
+        # text_repetition
+        n_gr.cast("int").alias("n_grams"),
+        n_dist.cast("int").alias("n_distinct"),
+        F.when(n_gr == 0, F.lit(0.0))
+        .otherwise(
+            F.round((n_gr - n_dist).cast("double") / n_gr.cast("double"), 5)
+        )
+        .alias("dup_ratio"),
+        # simhash
+        simhash_col().alias("simhash"),
     )

@@ -344,6 +344,30 @@ def dedup_minhash_lsh(
     )
 
 
+def simhash_col(bits: int = SIMHASH_BITS):
+    """The simhash signature as a row-local Column over `text` — shared
+    by :func:`simhash` and the composite text_profile query
+    (functions.textstats.text_profile). See :func:`simhash` for the
+    formulation A/B that keeps this a HOF fold."""
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+
+    def bit(tok, j):
+        digit = F.substring(F.md5(tok), (j % 32) + 1, 1)
+        val = (F.instr(F.lit("0123456789abcdef"), digit) - 1).cast("int")
+        b = F.shiftright(val, 3 - j // 32).bitwiseAND(F.lit(1))
+        return F.when(b == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    def bit_sum(j):
+        return F.aggregate(toks, F.lit(0), lambda a, t: a + bit(t, j))
+
+    return F.concat(
+        *[
+            F.when(bit_sum(j) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(bits)
+        ]
+    )
+
+
 def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash) — per-bit sign of sum over DISTINCT tokens of
     (+1 if the selected md5 bit is set else -1); bit j reads bit
@@ -362,25 +386,9 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     So the row-local interpreted fold stays: it is also the better
     100 TB shape (zero shuffle, embarrassingly parallel, constant
     factor only). Full A/B in BENCH.md round 3."""
-    toks = F.array_distinct(F.split(F.col("text"), " "))
-
-    def bit(tok, j):
-        digit = F.substring(F.md5(tok), (j % 32) + 1, 1)
-        val = (F.instr(F.lit("0123456789abcdef"), digit) - 1).cast("int")
-        b = F.shiftright(val, 3 - j // 32).bitwiseAND(F.lit(1))
-        return F.when(b == 1, F.lit(1)).otherwise(F.lit(-1))
-
-    def bit_sum(j):
-        return F.aggregate(toks, F.lit(0), lambda a, t: a + bit(t, j))
-
-    sig = F.concat(
-        *[
-            F.when(bit_sum(j) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for j in range(bits)
-        ]
-    )
     return documents.select(
-        F.col("doc_id").cast("string").alias("doc_id"), sig.alias("simhash")
+        F.col("doc_id").cast("string").alias("doc_id"),
+        simhash_col(bits).alias("simhash"),
     )
 
 

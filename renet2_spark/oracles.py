@@ -518,7 +518,18 @@ scored AS (
 
 
 def q_scores() -> str:
-    return f"WITH {_scored_cte()} SELECT * FROM scored"
+    """Scored pairs incl. prob_X (r4 verdict #1: the former
+    kg_scores_probx column folded in — printf('%.5f') == Spark
+    format_number for probs <= 1, see q_scores_probx)."""
+    prob_x = " || ';' || ".join(
+        f"printf('%.5f', {_prob_expr(i)})" for i in range(N_MODELS)
+    )
+    return f"""
+WITH {_scored_cte()}
+SELECT doc_id, gene_id, disease_id, n_cooc_sents, n_g, n_d, hit_cnt,
+       prob_avg, {prob_x} AS "prob_X"
+FROM scored
+"""
 
 
 def q_scores_probx() -> str:
@@ -889,6 +900,136 @@ SELECT event_type,
        CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
        CAST(max(CAST(props->>'k' AS INT)) AS INT) AS max_k
 FROM events GROUP BY 1
+"""
+
+
+def q_rel_suite_join() -> str:
+    """Consolidated join suite (r4 verdict #1): semi + anti + union +
+    left join + fillna + grouped agg — mirrors
+    plans.relational.rel_suite_join."""
+    return """
+WITH stats AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS total
+  FROM orders GROUP BY 1
+),
+base AS (
+  SELECT c_custkey, c_name, 'active' AS status FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  UNION ALL
+  SELECT c_custkey, c_name, 'none' AS status FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+)
+SELECT c_custkey, c_name, status,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(total, 0.0) AS total_spent
+FROM base LEFT JOIN stats ON c_custkey = o_custkey
+"""
+
+
+def q_rel_suite_window() -> str:
+    """Consolidated window suite: rank + lag + top-k limit — mirrors
+    plans.relational.rel_suite_window."""
+    return """
+SELECT o_custkey, rank, o_orderkey, o_totalprice, price_delta FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER w AS INT) AS rank,
+         round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER w, 5)
+           AS price_delta
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC)
+) WHERE rank <= 3
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_rel_suite_setagg() -> str:
+    """Consolidated set-op/aggregation suite: three harmonized grouped
+    aggregations (JSON / broadcast-join+having / decimal-exact Q1)
+    union'd with an intentional duplicate branch that DISTINCT must
+    collapse — mirrors plans.relational.rel_suite_setagg."""
+    ev = """
+  SELECT 'events' AS src, event_type AS grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(props->>'k' AS INT)) AS DOUBLE) AS v1,
+         CAST(max(CAST(props->>'k' AS INT)) AS DOUBLE) AS v2
+  FROM events GROUP BY 2"""
+    return f"""
+SELECT DISTINCT * FROM (
+{ev}
+  UNION ALL
+{ev}
+  UNION ALL
+  SELECT 'nation' AS src, n_name AS grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           AS v1,
+         0.0 AS v2
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 2 HAVING count(*) > 1
+  UNION ALL
+  SELECT 'lineitem' AS src, l_returnflag || '/' || l_linestatus AS grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v1,
+         round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE), 2) AS v2
+  FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' GROUP BY 2
+)
+"""
+
+
+def q_media_suite(stride: int = 4) -> str:
+    """Consolidated multimodal suite: decode features joined with the
+    per-frame sampling fan-out — mirrors decode_media x sample_frames
+    on (doc_id, media_ref)."""
+    media = q_media().strip()
+    b = lambda i: _hexbyte("md5(media_ref)", i)
+    return f"""
+WITH media AS ({media}),
+f AS (
+  SELECT doc_id, media_no, media_ref,
+         CAST(16 AS INT) AS bytes_len,
+         CAST(64 + {b(0)} % 192 AS INT) AS width,
+         CAST(64 + {b(1)} % 192 AS INT) AS height,
+         CAST(1 + {b(2)} % 4 AS INT) AS n_channels,
+         round({b(3)} / 255.0, 5) AS f0,
+         round({b(4)} / 255.0, 5) AS f1
+  FROM media
+),
+m AS (SELECT doc_id, media_ref,
+             CAST(1 + {_hexbyte("md5(media_ref)", 15)} % 32 AS INT)
+               AS n_frames
+      FROM media),
+fr AS (
+  SELECT doc_id, media_ref, n_frames, CAST(t.f AS INT) AS frame_no
+  FROM m, unnest(range(0, n_frames, {stride})) AS t(f)
+)
+SELECT f.doc_id, f.media_no, f.media_ref, f.bytes_len, f.width, f.height,
+       f.n_channels, f.f0, f.f1, fr.n_frames, fr.frame_no
+FROM f JOIN fr ON f.doc_id = fr.doc_id AND f.media_ref = fr.media_ref
+"""
+
+
+def q_edges_rawtext_suite() -> str:
+    """Both raw-text twins ('!'-cut and punctuation-rich) through the
+    exact packed-edges oracle, tagged by variant — the raw chain must
+    reconstruct the packed corpus's edges bit-for-bit on each."""
+    e = q_edges()
+    return f"""
+SELECT 'bang' AS variant, * FROM ({e})
+UNION ALL
+SELECT 'messy' AS variant, * FROM ({e})
+"""
+
+
+def q_dedup_survivors_suite(threshold: float = 0.7) -> str:
+    """Both survivor rules (pairwise keep-smallest and transitive
+    connected-component representative) tagged by rule."""
+    return f"""
+SELECT 'pairwise' AS rule, * FROM ({q_dedup_survivors(threshold)})
+UNION ALL
+SELECT 'cc' AS rule, * FROM ({q_dedup_survivors_cc(threshold)})
 """
 
 
@@ -1348,6 +1489,37 @@ def q_pair_tensors_digest(sf: str = "sf0.01") -> str:
     return f"SELECT CAST({n} AS BIGINT) AS n_pairs, '{d}' AS digest"
 
 
+# Frozen outputs of the neural-edge digest THROUGH the forward pass
+# and vote (r4 verdict stretch #7): one row per corpus over the voted
+# edge rows (ids, '|'-joined names, hit_cnt), frozen from an
+# INDEPENDENT DuckDB+NumPy recompute that shares only the score_batch
+# math kernel with the engine
+# (tests/test_neural.py::test_neural_edge_digest_frozen_literals is
+# the drift guard re-deriving both rows).
+#
+# Why hit_cnt but not prob DIGITS (the verdict asked for the
+# measurement): score_batch pads tensors to the BATCH max S/T, so
+# BLAS summation order varies with batch composition; measured at
+# sf0.001, 2 of 2,281 pairs' ensemble means sit close enough to a
+# 5-decimal rounding boundary to flip their printed 5th decimal
+# between the Spark batching and the independent 512-row batching
+# (0.49140 vs 0.49141, 0.49674 vs 0.49673). The voted row set, names
+# and hit counts were batch-invariant on both corpora — so the digest
+# pins exactly that surface, and probability digits stay covered by
+# the rows-only kg_edges_neural check + the P/R >= 0.95 golden test.
+NEURAL_EDGE_DIGESTS: dict[str, tuple[int, str]] = {
+    "sf0.001": (2281, "a66856f03c17b44555253c75a31efbb8"),
+    "sf0.01": (2290, "1b6cabf7d9d4ba1e1f46c8b98f9e8db3"),
+}
+
+
+def q_edges_neural_digest(sf: str = "sf0.01") -> str:
+    """One-row (n_edges, digest) oracle for the FULL neural flagship —
+    forward pass included. Scale-coupled like PAIR_TENSOR_DIGESTS."""
+    n, d = NEURAL_EDGE_DIGESTS[sf]
+    return f"SELECT CAST({n} AS BIGINT) AS n_edges, '{d}' AS digest"
+
+
 def q_label_distribution() -> str:
     """A8 class-balance counts over the deterministic label fixture
     (operators/labels.synthetic_labels over doc-level candidate pairs;
@@ -1415,7 +1587,10 @@ WHERE l.doc_id IS NULL
 def q_sample_balanced(ratio: float = 2.0, salt: str = "bal") -> str:
     """Deterministic stratified class balancing — mirrors
     caps.sample_balanced_hash (md5-prefix rule per label<1.0 class,
-    fraction = min(1, ratio * n_pos / n_class))."""
+    fraction = min(1, ratio * n_pos / n_class)). n_label_orig carries
+    the PRE-sampling per-class count (r4 verdict #1: the former
+    kg_label_distribution query folded into this one — the driver
+    hash now pins both the distribution and the sampled rows)."""
     h = f"md5('{salt}:' || doc_id || ':' || gene_id || ':' || disease_id)"
     digit = lambda k: f"(strpos('0123456789abcdef', substr({h}, {k}, 1)) - 1)"
     val = f"((({digit(1)} * 16 + {digit(2)}) * 16 + {digit(3)}) * 16 + {digit(4)})"
@@ -1438,11 +1613,12 @@ labels AS (
 ),
 dist AS (SELECT label, count(*) AS n FROM labels GROUP BY label),
 np AS (SELECT coalesce(sum(n), 0) AS n_pos FROM dist WHERE label >= 1.0),
-fr AS (SELECT label,
+fr AS (SELECT label, n,
               CASE WHEN label >= 1.0 THEN 1.0
                    ELSE least(1.0, {ratio} * n_pos / n) END AS frac
        FROM dist, np)
-SELECT l.doc_id, l.gene_id, l.disease_id, l.label
+SELECT l.doc_id, l.gene_id, l.disease_id, l.label,
+       CAST(fr.n AS BIGINT) AS n_label_orig
 FROM labels l JOIN fr USING (label)
 WHERE {val} < frac * 65536
 """
@@ -1523,6 +1699,62 @@ SELECT source, doc_id, n_tokens, start_offset,
        CAST(start_offset // {budget} AS INT) AS bin_id,
        CAST(start_offset % {budget} AS INT) AS bin_offset
 FROM s4
+"""
+
+
+def q_text_profile(n: int = 3, bits: int = 64) -> str:
+    """Composite per-document text-analysis profile — the union of the
+    text_stats / lang_id / token_counts / fingerprint /
+    text_repetition / simhash oracles joined on doc_id (r4 verdict #1
+    consolidation; mirrors functions.textstats.text_profile)."""
+    stop = "len(list_filter(ws, x -> x IN ('the', 'a')))"
+    return f"""
+WITH w AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, "text" AS txt,
+                  string_split("text", ' ') AS ws FROM documents),
+base AS (
+  SELECT doc_id,
+         CAST(len(ws) AS INT) AS n_tokens,
+         CAST(length(txt) AS INT) AS n_chars,
+         round(CAST(length(txt) - (len(ws) - 1) AS DOUBLE)
+               / CAST(len(ws) AS DOUBLE), 5) AS avg_token_len,
+         round(CAST({stop} AS DOUBLE)
+               / CAST(len(ws) AS DOUBLE), 5) AS stopword_ratio,
+         round(least(1.0, CAST(len(ws) AS DOUBLE) / 100.0)
+               * (1.0 - CAST({stop} AS DOUBLE) / CAST(len(ws) AS DOUBLE)), 5)
+           AS quality_score,
+         lang,
+         CASE WHEN {stop} > 0 THEN 'en' ELSE 'und' END AS lang_pred,
+         round(CAST({stop} AS DOUBLE)
+               / CAST(len(ws) AS DOUBLE), 5) AS lang_conf,
+         CAST(len(ws) AS INT) AS ws_tokens,
+         CAST(list_sum(list_transform(ws,
+              x -> CAST(ceil(length(x) / 4.0) AS INT))) AS INT)
+           AS subword_tokens,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(ws, x -> CAST(ascii(substr(x, 1, 1)) * 100
+                                          + length(x) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+         md5(txt) AS text_md5,
+         CAST(greatest(len(ws) - {n - 1}, 0) AS INT) AS n_grams,
+         CAST(CASE WHEN len(ws) < {n} THEN 0
+              ELSE len(list_distinct(list_transform(
+                     range(greatest(len(ws) - {n - 1}, 0)),
+                     i -> array_to_string(list_slice(ws, i + 1, i + {n}), ' '))))
+         END AS INT) AS n_distinct
+  FROM w
+),
+dtok AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(ws)) AS token FROM w
+),
+sig AS (SELECT doc_id, {_simhash_expr(bits)} AS simhash
+        FROM dtok GROUP BY doc_id)
+SELECT base.*,
+       CASE WHEN n_grams = 0 THEN 0.0
+            ELSE round(CAST(n_grams - n_distinct AS DOUBLE)
+                       / CAST(n_grams AS DOUBLE), 5) END AS dup_ratio,
+       sig.simhash
+FROM base JOIN sig USING (doc_id)
 """
 
 

@@ -164,6 +164,139 @@ def rel_json_extract(spark, sf_dir) -> DataFrame:
     )
 
 
+# ---- consolidated operator suites (r4 verdict #1) ------------------------
+# The ten single-operator rel_* queries above stay as the library
+# surface; the driver contract exercises them through three COMPOSED
+# plans so the whole contract fits the driver's 50-query correctness
+# window. Each suite is one genuinely-composed DataFrame plan with one
+# exact DuckDB oracle.
+
+
+def rel_suite_join(spark, sf_dir) -> DataFrame:
+    """Join suite: semi + anti + union + left join + fillna + grouped
+    aggregation in ONE plan (J1/J7/J8 + §2.7). Customer grain: status
+    from a semi/anti split, per-customer order stats left-joined with
+    null fill for the order-less customers."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    active = c.join(o, c.c_custkey == o.o_custkey, "left_semi").withColumn(
+        "status", F.lit("active")
+    )
+    inactive = c.join(o, c.c_custkey == o.o_custkey, "left_anti").withColumn(
+        "status", F.lit("none")
+    )
+    base = active.unionByName(inactive).select(
+        "c_custkey", "c_name", "status"
+    )
+    stats = o.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("_total"),
+    )
+    return base.join(
+        stats, base.c_custkey == stats.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        "status",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("_total", F.lit(0.0)).alias("total_spent"),
+    )
+
+
+def rel_suite_window(spark, sf_dir) -> DataFrame:
+    """Window suite: row_number rank + lag delta + deterministic
+    top-k limit in ONE plan (W1/W3 + §2.6). Both window functions
+    share one (o_custkey, price desc, orderkey) window — one sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "price_delta",
+            F.round(
+                F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w),
+                5,
+            ),
+        )
+        .filter(F.col("rank") <= 3)
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_custkey", "rank", "o_orderkey", "o_totalprice",
+                "price_delta")
+    )
+
+
+def rel_suite_setagg(spark, sf_dir) -> DataFrame:
+    """Set-op/aggregation suite: three grouped aggregations (JSON
+    extraction over events, broadcast join + having over
+    customer x nation, the Q1-shaped decimal-exact lineitem agg)
+    harmonized to one schema and UNION + DISTINCT'd — the events
+    branch is unioned TWICE so the distinct is observable (it must
+    collapse the duplicate branch)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    ev = (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("k").cast("double").alias("v1"),
+            F.max("k").cast("double").alias("v2"),
+        )
+        .select(
+            F.lit("events").alias("src"),
+            F.col("event_type").alias("grp"),
+            "n", "v1", "v2",
+        )
+    )
+    c = _t(spark, sf_dir, "customer")
+    nt = _t(spark, sf_dir, "nation")
+    nat = (
+        c.join(F.broadcast(nt), c.c_nationkey == nt.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("v1"),
+        )
+        .filter(F.col("n") > 1)
+        .select(
+            F.lit("nation").alias("src"),
+            F.col("n_name").alias("grp"),
+            "n", "v1",
+            F.lit(0.0).alias("v2"),
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    q1 = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("v1"),
+            F.round(F.sum(rev).cast("double"), 2).alias("v2"),
+        )
+        .select(
+            F.lit("lineitem").alias("src"),
+            F.concat_ws("/", "l_returnflag", "l_linestatus").alias("grp"),
+            "n", "v1", "v2",
+        )
+    )
+    return ev.unionByName(ev).unionByName(nat).unionByName(q1).distinct()
+
+
 # ---- P/R metrics join (J5) ----------------------------------------------
 
 

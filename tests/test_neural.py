@@ -291,3 +291,78 @@ def test_pair_tensor_digest_frozen_literals(sf):
 
     got = _independent_pair_tensor_digest(f"/root/testdata/{sf}")
     assert got == PAIR_TENSOR_DIGESTS[sf]
+
+
+def independent_neural_edge_digest(sf_dir: str) -> tuple[int, str]:
+    """Independent recompute of the FULL neural-edge digest (r4
+    verdict stretch #7): DuckDB corpus derivation + python candidate
+    generation + score_batch forward + python vote — shares only the
+    score_batch math kernel with the Spark pipeline. prob DIGITS are
+    excluded from the digest: score_batch pads to the batch max S/T,
+    so BLAS summation order varies with batch composition and a pair
+    whose ensemble mean sits near a rounding boundary can flip its
+    printed 5th decimal (measured: 2 of 2,281 pairs at sf0.001). The
+    voted row set, names and hit counts are batch-invariant."""
+    import hashlib
+
+    docs = duckdb.sql(
+        f"SELECT CAST(doc_id AS VARCHAR) doc_id, \"text\" "
+        f"FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).df()
+    oov = WORD_INDEX["[X]"]
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        words = text.split(" ")
+        sents = [words[i : i + 10] for i in range(0, len(words), 10)]
+        tok_ids = [[WORD_INDEX.get(w, oov) for w in s] for s in sents]
+        ments, genes, diseases, names = [], {}, {}, {}
+        for si, s in enumerate(sents):
+            for ti, w in enumerate(s):
+                eid = GENE_CANON.get(w) or DISEASE_CANON.get(w)
+                if eid is None:
+                    continue
+                typ = "Gene" if w in GENE_CANON else "Disease"
+                ments.append(
+                    {"sent_no": si, "tok_no": ti, "type": typ,
+                     "entity_id": eid}
+                )
+                (genes if typ == "Gene" else diseases).setdefault(
+                    eid, set()
+                ).add(si)
+                names.setdefault(eid, set()).add(w)
+        for g, gs in genes.items():
+            for d, ds in diseases.items():
+                if gs & ds:
+                    rows.append(
+                        {"doc_id": doc_id, "gene_id": g, "disease_id": d,
+                         "g_name": "|".join(sorted(names[g])),
+                         "d_name": "|".join(sorted(names[d])),
+                         "tok_ids": tok_ids, "ments": ments}
+                    )
+    pdf = pd.DataFrame(rows)
+    out = []
+    for lo in range(0, len(pdf), 512):
+        chunk = pdf.iloc[lo : lo + 512].reset_index(drop=True)
+        probs = score_batch(chunk)
+        for i in range(len(chunk)):
+            hit = int((probs[i] > 0.5).sum())
+            if hit < CUTOFF:
+                continue
+            r = chunk.iloc[i]
+            out.append(
+                f"{r['doc_id']}|{r['gene_id']}|{r['disease_id']}|"
+                f"{r['g_name']}|{r['d_name']}|{hit}"
+            )
+    out.sort()
+    return len(out), hashlib.md5("\n".join(out).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_neural_edge_digest_frozen_literals(sf):
+    """Drift guard for oracles.NEURAL_EDGE_DIGESTS (the
+    kg_edges_neural_digest oracle): frozen (n_edges, digest) literals
+    must equal the independent recompute at both corpus scales."""
+    from renet2_spark.oracles import NEURAL_EDGE_DIGESTS
+
+    got = independent_neural_edge_digest(f"/root/testdata/{sf}")
+    assert got == NEURAL_EDGE_DIGESTS[sf]

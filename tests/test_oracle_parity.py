@@ -12,7 +12,11 @@ ORACLES = entry_mod.oracle_sql()
 
 # oracles whose literals are constants of the sf0.01 corpus (the
 # driver's correctness scale) — checked at sf0.01 below, not sf0.001
-SF001_ONLY = {"ann_topk_ivf", "kg_pair_tensors_digest"}
+SF001_ONLY = {
+    "ann_topk_ivf",
+    "kg_pair_tensors_digest",
+    "kg_edges_neural_digest",
+}
 
 
 @pytest.mark.parametrize("name", sorted(set(ORACLES) - SF001_ONLY))
