@@ -146,3 +146,33 @@ def test_minhash_bucket_cap_window_reuses_join_key(spark):
     assert "hashpartitioning(band" in plan
     # candidate restriction guard still present after the cap change
     assert "LeftSemi" in _optimized(dedup_minhash_lsh(docs))
+
+
+def test_text_profile_is_single_scan_no_shuffle(spark):
+    """The composite text profile must stay ONE row-local scan: no
+    Exchange (shuffle) and no Join anywhere in the plan — all 17
+    signals compute per row (the consolidation must never regress to
+    joining the six per-operator outputs)."""
+    from renet2_spark.functions.textstats import text_profile
+
+    plan = _executed(text_profile(_docs(spark)))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_rel_suite_window_shares_one_window(spark):
+    """rank + lag ride ONE window spec -> exactly one Window physical
+    node (one sort), not two."""
+    from renet2_spark.plans.relational import rel_suite_window
+
+    plan = _executed(rel_suite_window(spark, SF_SMOKE))
+    assert plan.count("Window") == 1
+
+
+def test_pack_sequences_stats_join_is_broadcast(spark):
+    """The per-source (lo, span) map must ride in as a BROADCAST join
+    (r4 verdict #4), never a shuffled join on source."""
+    from renet2_spark.operators.curation import pack_sequences
+
+    plan = _executed(pack_sequences(_docs(spark), segments=8))
+    assert "BroadcastHashJoin" in plan
