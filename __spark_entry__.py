@@ -636,6 +636,37 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing end-to-end: deterministic emails / intl phone
+    numbers / IPv4 addresses are injected into the corpus text
+    (doc_id%3 / %5 / %7 — the corpus itself is PII-free word salad,
+    same make-the-rule-observable pattern as kg_tokens_rnn), then
+    pii_scrub must count each class and mask it; the driver hash pins
+    counts AND the full masked text."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    txt = F.col("text")
+    txt = F.when(
+        F.pmod(did, 3) == 0,
+        F.concat(txt, F.lit(" contact user"), did.cast("string"),
+                 F.lit("@example.com now")),
+    ).otherwise(txt)
+    txt = F.when(
+        F.pmod(did, 5) == 0,
+        F.concat(txt, F.lit(" call +1-555-"),
+                 (F.lit(1000) + F.pmod(did, 9000)).cast("string")),
+    ).otherwise(txt)
+    txt = F.when(
+        F.pmod(did, 7) == 0,
+        F.concat(txt, F.lit(" from 10.0."), F.pmod(did, 250).cast("string"),
+                 F.lit("."), F.pmod(did, 200).cast("string")),
+    ).otherwise(txt)
+    injected = docs.select(
+        did.cast("string").alias("doc_id"), txt.alias("text")
+    )
+    return ts.pii_scrub(injected)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -733,6 +764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (text_stats + lang_id + token_counts + fingerprint +
         # text_repetition + simhash)
         "text_profile": lambda s, d: ts.text_profile(_docs(s, d)),
+        # PII scrubbing (emails/phones/IPv4 -> typed masks) over
+        # deterministically-injected PII
+        "text_pii": q_text_pii,
         # multimodal plumbing: Arrow-batched decode features joined
         # onto the native frame-sampling fan-out
         "media_suite": q_media_suite,
@@ -806,6 +840,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash": oracles.q_sample_hash(),
         "curation_pipeline": oracles.q_curation_pipeline(),
         "text_profile": oracles.q_text_profile(),
+        "text_pii": oracles.q_text_pii(),
         "media_suite": oracles.q_media_suite(),
         "kg_pr_vs_strong_cooc": oracles.q_kg_pr_vs_strong_cooc(),
         "kg_threshold_sweep": oracles.q_kg_threshold_sweep(),

@@ -179,6 +179,42 @@ def text_repetition(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+# PII patterns: the common Java-regex / RE2 subset (no lookaround), so
+# the DuckDB oracle runs the IDENTICAL patterns. Order matters: emails
+# are masked before phones/IPs so an address can never be re-matched.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
+PII_IP = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_phones, n_ips, text_masked, masked_md5) —
+    PII redaction for training corpora: emails / intl-format phone
+    numbers / IPv4 addresses are counted and replaced with typed mask
+    tokens ([EMAIL], [PHONE], [IP]). Row-local regexp_count +
+    regexp_replace chain — pure codegen, zero shuffle, fuses into the
+    same scan as the rest of the quality pipeline at 100 TB. (A
+    production deployment extends the pattern table — SSNs, IBANs,
+    street addresses — the plan shape is unchanged.)"""
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "[EMAIL]"),
+            PII_PHONE,
+            "[PHONE]",
+        ),
+        PII_IP,
+        "[IP]",
+    )
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.regexp_count("text", F.lit(PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_PHONE)).cast("int").alias("n_phones"),
+        F.regexp_count("text", F.lit(PII_IP)).cast("int").alias("n_ips"),
+        masked.alias("text_masked"),
+        F.md5(masked).alias("masked_md5"),
+    )
+
+
 def text_profile(documents: DataFrame, rep_n: int = 3) -> DataFrame:
     """The FULL per-document text-analysis profile as ONE row-local
     projection — the composite the consolidated driver query

@@ -1758,6 +1758,51 @@ FROM base JOIN sig USING (doc_id)
 """
 
 
+def q_text_pii() -> str:
+    """PII injection + scrub — mirrors __spark_entry__.q_text_pii over
+    functions.textstats.pii_scrub. The regex patterns are the common
+    Java-regex / RE2 subset, shared verbatim from the engine module."""
+    from .functions.textstats import PII_EMAIL, PII_IP, PII_PHONE
+
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS did, "text" AS t0
+  FROM documents
+),
+i1 AS (SELECT doc_id, did,
+              CASE WHEN did % 3 = 0
+                   THEN t0 || ' contact user' || CAST(did AS VARCHAR)
+                        || '@example.com now'
+                   ELSE t0 END AS t FROM base),
+i2 AS (SELECT doc_id, did,
+              CASE WHEN did % 5 = 0
+                   THEN t || ' call +1-555-'
+                        || CAST(1000 + did % 9000 AS VARCHAR)
+                   ELSE t END AS t FROM i1),
+i3 AS (SELECT doc_id,
+              CASE WHEN did % 7 = 0
+                   THEN t || ' from 10.0.' || CAST(did % 250 AS VARCHAR)
+                        || '.' || CAST(did % 200 AS VARCHAR)
+                   ELSE t END AS t FROM i2),
+m AS (
+  SELECT doc_id, t,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{PII_EMAIL}', '[EMAIL]', 'g'),
+             '{PII_PHONE}', '[PHONE]', 'g'),
+           '{PII_IP}', '[IP]', 'g') AS masked
+  FROM i3
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{PII_IP}')) AS INT) AS n_ips,
+       masked AS text_masked,
+       md5(masked) AS masked_md5
+FROM m
+"""
+
+
 def q_text_repetition(n: int = 3) -> str:
     """Intra-doc duplicate-n-gram ratio — mirrors
     textstats.text_repetition."""

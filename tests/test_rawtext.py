@@ -351,3 +351,31 @@ def test_neural_raw_corpus_routing(spark):
     pairs = {(r["gene_id"], r["disease_id"]) for r in rows}
     # doc 1's (scan, slow) co-occurs in all three sentences
     assert ("1001", "D0001") in pairs
+
+
+def test_concurrent_probes_record_own_decisions(spark):
+    """r4 verdict #6 / ADVICE: two concurrent corpus='auto' builds on
+    one driver must each record THEIR OWN probe decision (packed vs
+    raw) into their stores — no shared mutable state to clobber."""
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from renet2_spark.sources.checkpoint import CheckpointStore
+
+    packed = load_documents(spark, SF_SMOKE).limit(60)
+    raw = raw_text_twin(packed)
+
+    def run(docs):
+        store = CheckpointStore(spark, tempfile.mkdtemp(prefix="probe_"))
+        pipeline.build_edges(spark, docs, store=store, corpus="auto").count()
+        m = {
+            (r["stage"], r["metric"]): r["value"]
+            for r in store.metrics().collect()
+        }
+        return m[("probe", "packed")]
+
+    with ThreadPoolExecutor(2) as ex:
+        f_packed = ex.submit(run, packed)
+        f_raw = ex.submit(run, raw)
+        assert f_packed.result() == 1.0
+        assert f_raw.result() == 0.0

@@ -218,3 +218,26 @@ def test_text_repetition_edges(spark):
     assert abs(got["1"]["dup_ratio"] - round(4 / 7, 5)) < 1e-9
     assert got["2"]["dup_ratio"] == 0.0
     assert (got["3"]["n_grams"], got["3"]["n_distinct"], got["3"]["dup_ratio"]) == (0, 0, 0.0)
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    """PII scrubbing: typed masks replace emails/phones/IPs (multiple
+    occurrences, mixed classes), PII-free text passes through
+    byte-identical with zero counts."""
+    from renet2_spark.functions.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            ("1", "mail a.b+c@x-y.org and d@e.io or call +44-207-946000"),
+            ("2", "server 192.168.0.1 talks to 10.0.0.254 daily"),
+            ("3", "no personal data in this sentence at all"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (got["1"]["n_emails"], got["1"]["n_phones"]) == (2, 1)
+    assert got["1"]["text_masked"] == "mail [EMAIL] and [EMAIL] or call [PHONE]"
+    assert got["2"]["n_ips"] == 2
+    assert got["2"]["text_masked"] == "server [IP] talks to [IP] daily"
+    assert got["3"]["text_masked"] == "no personal data in this sentence at all"
+    assert (got["3"]["n_emails"], got["3"]["n_phones"], got["3"]["n_ips"]) == (0, 0, 0)
