@@ -469,9 +469,23 @@ def neural_score_pairs(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            probs = score_batch(pdf, max_sents)
-            out = pdf.drop(columns=["tok_ids", "ments"])
-            out["probs"] = [list(map(float, row)) for row in probs]
-            yield out
+            # score LENGTH-HOMOGENEOUS groups (r5): score_batch pads
+            # every tensor in a batch to the batch max sentence count,
+            # so one 10-sentence doc in a mixed batch inflates every
+            # 2-sentence doc's forward by 5x. Corpus sentence counts
+            # span 1..32 (mean ~6 on this testdata): grouping by
+            # per-doc length before stacking removes the padding waste
+            # entirely (measured: kg_edges_neural 7.7s -> see BENCH.md
+            # round 5) and makes the forward's tensor SHAPES — hence
+            # its float summation order — independent of how Arrow
+            # happened to compose the batch.
+            lens = pdf["tok_ids"].map(len)
+            parts = []
+            for _s, grp in pdf.groupby(lens, sort=False):
+                probs = score_batch(grp.reset_index(drop=True), max_sents)
+                out = grp.drop(columns=["tok_ids", "ments"]).copy()
+                out["probs"] = [list(map(float, row)) for row in probs]
+                parts.append(out)
+            yield pd.concat(parts) if len(parts) > 1 else parts[0]
 
     return joined.mapInPandas(run, schema=out_schema)
