@@ -110,6 +110,8 @@ def cmd_curate(args) -> int:
     spark = _spark(args)
     docs = spark.read.parquet(args.input)
     ev = spark.read.parquet(args.eval) if args.eval else None
+    if args.reliable_checkpoint:
+        spark.sparkContext.setCheckpointDir(args.reliable_checkpoint)
     out = curation_pipeline(
         docs,
         ev,
@@ -117,6 +119,8 @@ def cmd_curate(args) -> int:
         max_contamination=args.max_contamination,
         pct=args.pct,
         budget=args.budget,
+        pii=args.pii,
+        reliable_checkpoint=bool(args.reliable_checkpoint),
     )
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
@@ -196,6 +200,14 @@ def main(argv: list[str] | None = None) -> int:
                          "(100 = keep all)")
     sp.add_argument("--budget", type=int, default=256,
                     help="tokens per packed context window")
+    sp.add_argument("--pii", action="store_true",
+                    help="mask emails/phones/IPv4 before any other "
+                         "stage sees the text")
+    sp.add_argument("--reliable-checkpoint", default=None,
+                    dest="reliable_checkpoint", metavar="DIR",
+                    help="fault-tolerant checkpoint dir for the dedup "
+                         "label-propagation rounds (cluster "
+                         "deployments; default executor-local)")
     sp.set_defaults(fn=cmd_curate)
 
     sp = sub.add_parser("evaluate", help="P/R/F1 of predicted vs gold triples")

@@ -187,6 +187,19 @@ PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
 PII_IP = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
 
 
+def pii_mask_col(col: Column | str = "text") -> Column:
+    """The masking chain as a reusable row-local Column (shared by
+    pii_scrub and the curation pipeline's pii=True stage)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]"
+        ),
+        PII_IP,
+        "[IP]",
+    )
+
+
 def pii_scrub(documents: DataFrame) -> DataFrame:
     """(doc_id, n_emails, n_phones, n_ips, text_masked, masked_md5) —
     PII redaction for training corpora: emails / intl-format phone
@@ -196,15 +209,7 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
     same scan as the rest of the quality pipeline at 100 TB. (A
     production deployment extends the pattern table — SSNs, IBANs,
     street addresses — the plan shape is unchanged.)"""
-    masked = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), PII_EMAIL, "[EMAIL]"),
-            PII_PHONE,
-            "[PHONE]",
-        ),
-        PII_IP,
-        "[IP]",
-    )
+    masked = pii_mask_col()
     return documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.regexp_count("text", F.lit(PII_EMAIL)).cast("int").alias("n_emails"),

@@ -320,6 +320,8 @@ def curation_pipeline(
     max_contamination: float = 0.2,
     pct: float = 50.0,
     budget: int = PACK_BUDGET,
+    pii: bool = False,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """End-to-end training-corpus curation — the composed stage chain
     a real pipeline runs, as ONE declarative plan:
@@ -367,6 +369,14 @@ def curation_pipeline(
         lang.alias("lang"),
         source.alias("source"),
     )
+    if pii:
+        # PII redaction FIRST so no later stage (shingles, packing
+        # output) ever sees raw identifiers; a row-local column
+        # rewrite that fuses into the same scan as the quality gate
+        # (NOT a join — pii_mask_col is pure expression)
+        from ..functions.textstats import pii_mask_col
+
+        base = base.withColumn("text", pii_mask_col())
     d1 = base.filter(quality_score_col() >= F.lit(min_quality))
     # ONE shingle explode over the quality-gated corpus, shared by the
     # dedup and decontamination stages (dedup_components runs actions
@@ -374,7 +384,9 @@ def curation_pipeline(
     # materialized before the decon branch is even constructed)
     sh1 = _cache(doc_shingles(d1))
     dup_losers = (
-        dedup_components(d1, shingles=sh1)
+        dedup_components(
+            d1, shingles=sh1, reliable_checkpoint=reliable_checkpoint
+        )
         .filter(F.col("doc_id") != F.col("component"))
         .select("doc_id")
     )

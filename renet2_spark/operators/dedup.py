@@ -496,6 +496,61 @@ def dedup_survivors(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) 
     )
 
 
+def repeated_spans(
+    documents: DataFrame,
+    n: int = NGRAM,
+    min_df: int = 2,
+    max_shingle_docs: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Cross-document repeated-SUBSTRING spans (the span-level exact
+    dedup of 'Deduplicating Training Data Makes Language Models
+    Better'-style pipelines, complementing the doc-level operators):
+    (doc_id, start_word, end_word, n_grams, max_df) — maximal runs of
+    word positions whose n-gram starting there occurs in >= min_df
+    DISTINCT documents. Downstream cutters drop or trim these spans
+    instead of whole documents.
+
+    Plan: positioned n-gram explode (narrow) -> per-gram distinct-doc
+    frequency (one shuffle on gram; grams over the inverted-index df
+    cap are dropped with the same no-silent-caps accounting story as
+    the jaccard path) -> semi join positions to repeated grams ->
+    per-doc run-length merge of consecutive positions (one doc-keyed
+    window; pos - row_number() is constant within a consecutive run).
+    Every shuffle key is gram- or doc-uniform; no self-join exists —
+    scale shape matches the rest of the dedup suite."""
+    words = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.array_join(F.slice(words, i + 1, n), " ").alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    freq = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").cast("int").alias("df")
+    )
+    keep = freq.filter(F.col("df") >= min_df)
+    if max_shingle_docs is not None:
+        keep = keep.filter(F.col("df") <= max_shingle_docs)
+    rep = grams.join(keep, "gram").select("doc_id", "pos", "df")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    runs = rep.withColumn(
+        "_grp", F.col("pos") - F.row_number().over(w)
+    )
+    return runs.groupBy("doc_id", "_grp").agg(
+        F.min("pos").cast("int").alias("start_word"),
+        (F.max("pos") + n).cast("int").alias("end_word"),
+        F.count("*").cast("int").alias("n_grams"),
+        F.max("df").cast("int").alias("max_df"),
+    ).drop("_grp")
+
+
 CC_MAX_ITERS = 50
 
 

@@ -82,3 +82,49 @@ def test_cli_curate(spark, capsys):
     ]) == 0
     assert spark.read.parquet(d + "/packed2").count() > n_full
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cli_curate_pii_and_reliable_checkpoint(spark):
+    """curate --pii + --reliable-checkpoint plumb end-to-end: the
+    masked chain still packs every surviving doc with the right token
+    count (masking is within-token, so counts equal the unmasked
+    derivation — mask CONTENT itself is pinned by the pii_scrub unit
+    test and the oracled text_pii driver query), and the dedup rounds
+    demonstrably run through the given fault-tolerant checkpoint
+    dir."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from renet2_spark.cli import main
+    from tests.conftest import SF_SMOKE
+
+    d = tempfile.mkdtemp(prefix="cli_pii_")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(80)
+    docs.withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" mail bob@example.org here")),
+    ).write.parquet(d + "/train")
+    assert main([
+        "curate", "--input", d + "/train", "--output", d + "/packed",
+        "--pii", "--pct", "100",
+        "--reliable-checkpoint", d + "/ckpt",
+    ]) == 0
+    packed = spark.read.parquet(d + "/packed")
+    base = spark.read.parquet(d + "/train")
+    # every surviving doc's token count reflects the masked text
+    # (the email collapses to the single token [EMAIL])
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in base.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.size(F.split("text", " ")).alias("n"),
+        ).collect()
+    }
+    rows = packed.collect()
+    assert rows
+    for r in rows:
+        assert r["n_tokens"] == n_tok[r["doc_id"]]  # same token COUNT
+    # and the checkpoint dir was actually used by the CC rounds
+    assert os.path.exists(d + "/ckpt") and os.listdir(d + "/ckpt")
+    shutil.rmtree(d, ignore_errors=True)

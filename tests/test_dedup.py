@@ -313,3 +313,60 @@ def test_dedup_ngram_jaccard_injected_shingles_match(spark):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_repeated_spans_finds_maximal_shared_passage(spark):
+    """A 12-word passage planted in 3 docs (at different positions,
+    surrounded by unique text) must come back as ONE maximal span per
+    doc covering exactly the passage; fully-unique docs produce no
+    spans."""
+    from renet2_spark.operators.dedup import NGRAM, repeated_spans
+
+    passage = " ".join(f"p{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            ("1", " ".join(f"a{i}" for i in range(5)) + " " + passage
+                  + " " + " ".join(f"b{i}" for i in range(4))),
+            ("2", passage + " " + " ".join(f"c{i}" for i in range(7))),
+            ("3", " ".join(f"d{i}" for i in range(9)) + " " + passage),
+            ("4", " ".join(f"u{i}" for i in range(25))),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["start_word"], r["end_word"], r["n_grams"], r["max_df"])
+        for r in repeated_spans(docs, min_df=2).collect()
+    }
+    n_positions = 12 - NGRAM + 1  # consecutive repeated gram starts
+    assert got == {
+        "1": (5, 5 + 12, n_positions, 3),
+        "2": (0, 12, n_positions, 3),
+        "3": (9, 9 + 12, n_positions, 3),
+    }
+
+
+def test_repeated_spans_merges_runs_and_caps_df(spark):
+    """Two disjoint shared passages in one doc -> two spans (the
+    run-length merge must not bridge the gap); a gram over the df cap
+    is dropped (no-silent-caps parity with the jaccard path)."""
+    from renet2_spark.operators.dedup import repeated_spans
+
+    p1 = " ".join(f"x{i}" for i in range(7))
+    p2 = " ".join(f"y{i}" for i in range(7))
+    gap = " ".join(f"g{i}" for i in range(6))
+    docs = spark.createDataFrame(
+        [
+            ("1", p1 + " " + gap + " " + p2),
+            ("2", p1 + " " + " ".join(f"z{i}" for i in range(8)) + " " + p2),
+        ],
+        "doc_id string, text string",
+    )
+    spans = {
+        (r["doc_id"], r["start_word"], r["end_word"])
+        for r in repeated_spans(docs, min_df=2).collect()
+    }
+    assert ("1", 0, 7) in spans and ("1", 13, 20) in spans
+    assert ("2", 0, 7) in spans and ("2", 15, 22) in spans
+    assert len([s for s in spans if s[0] == "1"]) == 2
+    # df cap: with max_shingle_docs=1 every repeated gram (df=2) drops
+    assert repeated_spans(docs, min_df=2, max_shingle_docs=1).count() == 0
