@@ -370,3 +370,37 @@ def test_repeated_spans_merges_runs_and_caps_df(spark):
     assert len([s for s in spans if s[0] == "1"]) == 2
     # df cap: with max_shingle_docs=1 every repeated gram (df=2) drops
     assert repeated_spans(docs, min_df=2, max_shingle_docs=1).count() == 0
+
+
+def test_repeated_spans_matches_duckdb_mirror(spark):
+    """Exact SQL-mirror parity for repeated_spans over the real
+    sf0.001 corpus (library-level oracle, same rigor as the driver
+    queries): positioned grams -> distinct-doc df (capped) ->
+    run-length merge."""
+    from renet2_spark.operators.dedup import MAX_SHINGLE_DF, NGRAM, repeated_spans
+    from tests.oracle_utils import compare
+
+    sql = f"""
+WITH g AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(t.i AS INT) AS pos,
+         array_to_string(list_slice(ws, t.i + 1, t.i + {NGRAM}), ' ') AS gram
+  FROM (SELECT doc_id, string_split("text", ' ') AS ws FROM documents) w,
+       unnest(range(greatest(len(ws) - {NGRAM}, 0) + 1)) AS t(i)
+),
+freq AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1),
+rep AS (SELECT g.doc_id, g.pos, f.df FROM g JOIN freq f USING (gram)
+        WHERE f.df >= 2 AND f.df <= {MAX_SHINGLE_DF}),
+runs AS (SELECT doc_id, pos, df,
+                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS grp
+         FROM rep)
+SELECT doc_id, CAST(min(pos) AS INT) AS start_word,
+       CAST(max(pos) + {NGRAM} AS INT) AS end_word,
+       CAST(count(*) AS INT) AS n_grams,
+       CAST(max(df) AS INT) AS max_df
+FROM runs GROUP BY doc_id, grp
+"""
+    df = repeated_spans(_docs(spark))
+    ok, msg = compare(df, sql, SF_SMOKE)
+    assert ok, msg
+    assert df.count() > 0  # the planted near-dups share long passages
