@@ -9,7 +9,7 @@ needs before KG extraction. All are declarative DataFrame plans:
                      verification path; frequency-capped at scale)
 * minhash + LSH    — k=12 md5-minhash signature, b=4/r=3 banding,
                      bucket join, exact-jaccard verify of candidates
-* simhash          — 16-bit sign-of-sum signature over token hashes
+* simhash          — 64-bit sign-of-sum signature over token hashes
 * embedding cosine — near-dup pairs over an embedding column
 
 Hash choice: md5 (not xxhash/murmur) so every stage is reproducible
