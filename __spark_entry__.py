@@ -629,10 +629,17 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     'pairwise' is the keep-smallest-of-each-pair rule, rule='cc' keeps
     one representative per transitive near-dup connected component —
     the star-structure divergence between them is part of the hashed
-    surface."""
+    surface. ONE persisted shingle table feeds both rules (the CC
+    propagation rounds materialize it; the pairwise branch reuses it
+    — the explode would otherwise run twice)."""
     docs = _docs(spark, sf_dir)
-    a = dd.dedup_survivors(docs).withColumn("rule", F.lit("pairwise"))
-    b = dd.dedup_survivors_cc(docs).withColumn("rule", F.lit("cc"))
+    sh = dd.cache_shared_shingles(docs)
+    a = dd.dedup_survivors(docs, shingles=sh).withColumn(
+        "rule", F.lit("pairwise")
+    )
+    b = dd.dedup_survivors_cc(docs, shingles=sh).withColumn(
+        "rule", F.lit("cc")
+    )
     return a.unionByName(b)
 
 

@@ -208,7 +208,15 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
     regexp_replace chain — pure codegen, zero shuffle, fuses into the
     same scan as the rest of the quality pipeline at 100 TB. (A
     production deployment extends the pattern table — SSNs, IBANs,
-    street addresses — the plan shape is unchanged.)"""
+    street addresses — the plan shape is unchanged.)
+
+    Accounting caveat: the n_* counts are per-class matches on the
+    RAW text, while masking is sequential (email, then phone, then
+    IP), so a phone/IP embedded inside an email address counts toward
+    its class but is swallowed by the [EMAIL] mask — n_phones can
+    exceed the number of [PHONE] tokens in text_masked. Redaction
+    itself is always complete (every match of every class lies inside
+    some mask); the DuckDB oracle mirrors the same semantics."""
     masked = pii_mask_col()
     return documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),

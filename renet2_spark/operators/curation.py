@@ -51,7 +51,13 @@ PACK_BUDGET = 256  # tokens per packed context window
 
 # persisted generations of curation_pipeline's shared shingle table —
 # rotated at the start of each call (no persist without release;
-# mirrors plans.pipeline._NEURAL_CACHES)
+# mirrors plans.pipeline._NEURAL_CACHES). Concurrency caveat, same as
+# the neural caches: the registry assumes one curation chain in
+# flight per driver — a second concurrent call unpersists the first
+# call's shingle table, which silently degrades it back to
+# recompute-per-consumer (results stay IDENTICAL — persist is purely
+# a performance property — but the single-shingle-pass guarantee
+# holds per call only when calls don't overlap).
 _CURATION_CACHES: list[DataFrame] = []
 
 
@@ -182,43 +188,63 @@ def pack_sequences(
     # the CASE map grew the expression tree linearly in the number of
     # sources; a ten-thousand-source warehouse would compile a
     # pathological plan). Plan size is now constant in source count.
+    # both joins below key on the source — but a NULL source is a real
+    # group (the stats aggregate carries its row) whose documents must
+    # keep packing, and an equi-join would silently drop them
+    # (NULL != NULL). All stats/window/join keying therefore uses a
+    # NULL-coalesced sentinel key; the output keeps the original
+    # source values untouched.
+    _NULL_SRC = " <null-source>"
+    if _NULL_SRC in stats and None in stats:
+        raise ValueError(
+            "pack_sequences: corpus contains BOTH a NULL source and a "
+            f"literal {_NULL_SRC!r} source - rename one"
+        )
+    skey = lambda v: _NULL_SRC if v is None else v
     src_stats = documents.sparkSession.createDataFrame(
         [
             (
-                src,
+                skey(src),
                 int(r["lo"] or 0),
                 max(1, -(-((r["hi"] or 0) - (r["lo"] or 0) + 1) // segments)),
             )
             for src, r in stats.items()
         ],
-        "source string, _lo long, _span long",
+        "_skey string, _lo long, _span long",
     )
-    seg = base.join(F.broadcast(src_stats), "source").withColumn(
-        "_seg", ((F.col("_ord") - F.col("_lo")) / F.col("_span")).cast("long")
+    seg = (
+        base.withColumn(
+            "_skey", F.coalesce(F.col("source"), F.lit(_NULL_SRC))
+        )
+        .join(F.broadcast(src_stats), "_skey")
+        .withColumn(
+            "_seg",
+            ((F.col("_ord") - F.col("_lo")) / F.col("_span")).cast("long"),
+        )
     )
     w_in = (
-        W.partitionBy("source", "_seg")
+        W.partitionBy("_skey", "_seg")
         .orderBy("_ord")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     within = F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)).cast("long")
     w_seg = (
-        W.partitionBy("source")
+        W.partitionBy("_skey")
         .orderBy("_seg")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     bases = (
-        seg.groupBy("source", "_seg")
+        seg.groupBy("_skey", "_seg")
         .agg(F.sum("n_tokens").cast("long").alias("_seg_tok"))
         .withColumn(
             "_base",
             F.coalesce(F.sum("_seg_tok").over(w_seg), F.lit(0)).cast("long"),
         )
-        .select("source", "_seg", "_base")
+        .select("_skey", "_seg", "_base")
     )
     packed = (
         seg.withColumn("_within", within)
-        .join(F.broadcast(bases), ["source", "_seg"])
+        .join(F.broadcast(bases), ["_skey", "_seg"])
         .withColumn(
             "start_offset", (F.col("_base") + F.col("_within")).cast("long")
         )

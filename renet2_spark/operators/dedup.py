@@ -480,12 +480,18 @@ def dedup_embedding_lsh(
     )
 
 
-def dedup_survivors(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+def dedup_survivors(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """Dedup as a pipeline stage: documents surviving near-dup removal
     — a doc is dropped iff it is the LARGER id of any >= threshold
     ngram-jaccard pair (deterministic keep-smallest rule; the exact
-    analogue of 'keep first seen'). Output: (doc_id, n_chars)."""
-    pairs = dedup_ngram_jaccard(documents, threshold=threshold)
+    analogue of 'keep first seen'). Output: (doc_id, n_chars).
+    `shingles` forwards to dedup_ngram_jaccard (shared-pass hook)."""
+    pairs = dedup_ngram_jaccard(documents, threshold=threshold,
+                                shingles=shingles)
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return (
         documents.select(
@@ -519,19 +525,34 @@ def repeated_spans(
     Every shuffle key is gram- or doc-uniform; no self-join exists —
     scale shape matches the rest of the dedup suite."""
     words = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    grams = documents.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.struct(
-                    i.cast("int").alias("pos"),
-                    F.array_join(F.slice(words, i + 1, n), " ").alias("gram"),
-                ),
-            )
-        ).alias("g"),
-    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = (
+        documents
+        # docs shorter than n words have NO n-grams (unlike the
+        # doc-level shingle operators, which deliberately keep one
+        # truncated shingle so short docs still compare): a truncated
+        # pseudo-gram here would emit spans whose end_word exceeds the
+        # document length — exactly what downstream span cutters trim
+        # against
+        .filter(F.size(words) >= n)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        i.cast("int").alias("pos"),
+                        F.array_join(F.slice(words, i + 1, n), " ").alias(
+                            "gram"
+                        ),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
+        )
+    )
     freq = grams.groupBy("gram").agg(
         F.countDistinct("doc_id").cast("int").alias("df")
     )
@@ -549,6 +570,29 @@ def repeated_spans(
         F.count("*").cast("int").alias("n_grams"),
         F.max("df").cast("int").alias("max_df"),
     ).drop("_grp")
+
+
+# persisted generations of shared shingle tables for callers running
+# BOTH survivor rules over one corpus (the driver's dedup_survivors
+# query) — rotated per call like curation._CURATION_CACHES, with the
+# same single-chain-in-flight caveat (overlapping calls lose only the
+# reuse, never correctness)
+_DEDUP_CACHES: list[DataFrame] = []
+
+
+def release_dedup_caches() -> None:
+    while _DEDUP_CACHES:
+        _DEDUP_CACHES.pop().unpersist()
+
+
+def cache_shared_shingles(documents: DataFrame, n: int = NGRAM) -> DataFrame:
+    """One persisted doc_shingles table to feed several dedup stages
+    (materialized by the first action — e.g. dedup_components'
+    propagation rounds — and reused by every later consumer)."""
+    release_dedup_caches()
+    sh = doc_shingles(documents, n).persist()
+    _DEDUP_CACHES.append(sh)
+    return sh
 
 
 CC_MAX_ITERS = 50
@@ -652,13 +696,17 @@ def dedup_components(
 
 
 def dedup_survivors_cc(
-    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Component-representative dedup: keep exactly ONE document (the
     lexicographically smallest id) per near-dup connected component,
     plus every doc in no dup pair. Output: (doc_id, n_chars) — same
-    shape as dedup_survivors, transitive semantics."""
-    comp = dedup_components(documents, threshold=threshold)
+    shape as dedup_survivors, transitive semantics. `shingles`
+    forwards to the shared-pass hook."""
+    comp = dedup_components(documents, threshold=threshold,
+                            shingles=shingles)
     losers = comp.filter(F.col("doc_id") != F.col("component")).select(
         "doc_id"
     )

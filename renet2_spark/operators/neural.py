@@ -469,19 +469,22 @@ def neural_score_pairs(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            # score LENGTH-HOMOGENEOUS groups (r5): score_batch pads
-            # every tensor in a batch to the batch max sentence count,
-            # so one 10-sentence doc in a mixed batch inflates every
-            # 2-sentence doc's forward by 5x. Corpus sentence counts
-            # span 1..32 (mean ~6 on this testdata): grouping by
-            # per-doc length before stacking removes the padding waste
-            # entirely (measured: kg_edges_neural 7.7s -> see BENCH.md
-            # round 5) and makes the forward's tensor SHAPES — hence
-            # its float summation order — independent of how Arrow
-            # happened to compose the batch.
-            lens = pdf["tok_ids"].map(len)
+            # score SHAPE-HOMOGENEOUS groups (r5): score_batch pads
+            # every tensor in a batch to the batch max sentence AND
+            # token counts, so one 10-sentence doc in a mixed batch
+            # inflates every 2-sentence doc's forward by 5x. Corpus
+            # sentence counts span 1..32 (mean ~6 on this testdata):
+            # grouping by the per-doc (n_sents, max_sent_tokens) shape
+            # before stacking removes the padding waste (measured:
+            # kg_edges_neural 7.7s -> see BENCH.md round 5) and makes
+            # the forward's tensor SHAPES — hence its float summation
+            # order — independent of how Arrow happened to compose the
+            # batch (the key covers BOTH padded dims, S and T).
+            shape = pdf["tok_ids"].map(
+                lambda t: (len(t), max(map(len, t)) if len(t) else 0)
+            )
             parts = []
-            for _s, grp in pdf.groupby(lens, sort=False):
+            for _s, grp in pdf.groupby(shape, sort=False):
                 probs = score_batch(grp.reset_index(drop=True), max_sents)
                 out = grp.drop(columns=["tok_ids", "ments"]).copy()
                 out["probs"] = [list(map(float, row)) for row in probs]

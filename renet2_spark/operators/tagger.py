@@ -281,20 +281,30 @@ def tokenize_raw_sentences(sentences: DataFrame) -> DataFrame:
         after its host word are real occurrences).
 
         Bounded retry (r4 ADVICE): boundary-failed retries may cross at
-        most ONE whitespace gap beyond the first raw find. A legitimate
-        retry happens when the first find lands inside the immediately
-        adjacent longer word ('a' inside 'banana a'), which never skips
-        more than one gap; an occurrence further away is almost surely
-        a DIFFERENT occurrence of a tokenizer-REWRITTEN fragment ('can'
-        from 'cannot' matching a later standalone 'can') — accepting it
-        would advance the cursor past every intervening token and
-        silently drop their mentions. Such tokens now resolve to -1
-        (dropped by verify) and leave the cursor anchored for the
-        tokens that follow."""
+        most ONE whitespace GAP (a maximal run of whitespace — multi-
+        space/tab separators count once) beyond the first raw find. A
+        legitimate retry happens when the first find lands inside the
+        immediately adjacent longer word ('a' inside 'banana a'),
+        which never skips more than one gap; an occurrence further
+        away is almost surely a DIFFERENT occurrence of a tokenizer-
+        REWRITTEN fragment ('can' from 'cannot' matching a later
+        standalone 'can') — accepting it would advance the cursor past
+        every intervening token and silently drop their mentions. Such
+        tokens resolve to -1 (dropped by verify) and leave the cursor
+        anchored for the tokens that follow."""
         first = sentence.find(tok, cur)
         pos = first
         while pos >= 0:
-            if sentence.count(" ", first, pos) > 1:
+            gaps = 0
+            in_ws = False
+            for ch in sentence[first:pos]:
+                if ch.isspace():
+                    if not in_ws:
+                        gaps += 1
+                        in_ws = True
+                else:
+                    in_ws = False
+            if gaps > 1:
                 return -1
             end = pos + len(tok)
             ok_lead = not (

@@ -61,6 +61,7 @@ def urllib_transport(
     inside executor Python workers (fetch_documents/mapInPandas)."""
 
     def fetch(doc_id: str) -> tuple[str, str]:
+        import http.client
         import time
         import urllib.error
         import urllib.request
@@ -83,13 +84,17 @@ def urllib_transport(
                         wait = min(float(ra), 30.0)
                 elif 400 <= e.code < 500:
                     return STATUS_MISS, ""
-            except (urllib.error.URLError, OSError, TimeoutError):
-                # transport-level failures (DNS, refused, reset,
-                # socket timeout) retry; anything else — e.g. a
-                # malformed url_template raising ValueError — is a
-                # programming error and must RAISE, not report miss
-                # (r4 ADVICE: the bare `except Exception` here
-                # converted bugs into silent retries-then-miss)
+            except (urllib.error.URLError, OSError, http.client.HTTPException):
+                # transport-level failures retry: DNS/refused/reset/
+                # socket timeout (URLError/OSError — TimeoutError is an
+                # OSError subclass) AND malformed server responses
+                # (http.client.BadStatusLine / IncompleteRead etc.,
+                # which subclass HTTPException, not OSError). Anything
+                # else — e.g. a malformed url_template raising
+                # ValueError — is a programming error and must RAISE,
+                # not report miss (r4 ADVICE: the bare `except
+                # Exception` here converted bugs into silent
+                # retries-then-miss)
                 pass
             if wait and attempt + 1 < max(1, int(retries)):
                 time.sleep(wait)

@@ -305,3 +305,22 @@ def test_curation_pipeline_minimal_schema(spark):
     )
     rows = cur.curation_pipeline(docs, None, pct=100.0).collect()
     assert rows and all(r["source"] == "default" for r in rows)
+
+
+def test_pack_sequences_null_source_kept(spark):
+    """A NULL source is a real group: its documents must keep packing
+    (the broadcast stats join is keyed null-safely — a plain equi-join
+    would silently drop every NULL-source row)."""
+    docs = spark.createDataFrame(
+        [
+            ("1", "w w w", "en", None),
+            ("2", "w w", "en", None),
+            ("3", "w w w w", "en", "s1"),
+        ],
+        "doc_id string, text string, lang string, source string",
+    )
+    got = {
+        (r["source"], r["doc_id"]): r["start_offset"]
+        for r in cur.pack_sequences(docs, budget=4, segments=8).collect()
+    }
+    assert got == {(None, "1"): 0, (None, "2"): 3, ("s1", "3"): 0}

@@ -370,6 +370,13 @@ def test_repeated_spans_merges_runs_and_caps_df(spark):
     assert len([s for s in spans if s[0] == "1"]) == 2
     # df cap: with max_shingle_docs=1 every repeated gram (df=2) drops
     assert repeated_spans(docs, min_df=2, max_shingle_docs=1).count() == 0
+    # docs shorter than n words have NO n-grams: two identical 2-word
+    # docs must produce zero spans (not a truncated pseudo-gram span
+    # whose end_word exceeds the doc length)
+    short = spark.createDataFrame(
+        [("8", "tiny doc"), ("9", "tiny doc")], "doc_id string, text string"
+    )
+    assert repeated_spans(short, min_df=2).count() == 0
 
 
 def test_repeated_spans_matches_duckdb_mirror(spark):
@@ -384,8 +391,9 @@ def test_repeated_spans_matches_duckdb_mirror(spark):
 WITH g AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(t.i AS INT) AS pos,
          array_to_string(list_slice(ws, t.i + 1, t.i + {NGRAM}), ' ') AS gram
-  FROM (SELECT doc_id, string_split("text", ' ') AS ws FROM documents) w,
-       unnest(range(greatest(len(ws) - {NGRAM}, 0) + 1)) AS t(i)
+  FROM (SELECT doc_id, string_split("text", ' ') AS ws FROM documents
+        WHERE len(string_split("text", ' ')) >= {NGRAM}) w,
+       unnest(range(len(ws) - {NGRAM} + 1)) AS t(i)
 ),
 freq AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1),
 rep AS (SELECT g.doc_id, g.pos, f.df FROM g JOIN freq f USING (gram)

@@ -118,7 +118,9 @@ def test_pack_sequences_partitions_by_source(spark):
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     plan = _executed(pack_sequences(docs))
-    assert "hashpartitioning(source" in plan
+    # windows key on _skey (the NULL-coalesced source sentinel, r5:
+    # NULL sources are real groups and must survive the stats join)
+    assert "hashpartitioning(_skey" in plan
     assert "SinglePartition" not in plan
 
 
@@ -131,7 +133,7 @@ def test_pack_sequences_window_is_segmented(spark):
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     plan = _executed(pack_sequences(docs, segments=8))
-    assert "hashpartitioning(source" in plan and "_seg" in plan
+    assert "hashpartitioning(_skey" in plan and "_seg" in plan
     assert "BroadcastHashJoin" in plan
 
 
