@@ -600,3 +600,77 @@ def test_real_pubtator_golden_parse_mentions_pairs(spark):
         "\n".join(sorted(f"{a}|{b}|{c}|{n}" for a, b, c, n in got)).encode()
     ).hexdigest()
     assert (len(got), digest) == (GOLDEN_N_PAIRS, GOLDEN_PAIR_DIGEST)
+
+
+def test_real_bioc_golden_parse_mentions(spark):
+    """The SAME 10 real reference documents through the BioC-JSON
+    ingest path (S4): each doc rendered as a BioC document (title +
+    RESULTS passage carrying the abstract, plus a funding passage the
+    skip-list must drop), parsed by parse_bioc, text reconstructed
+    from the kept spans — every one of the 725 real NER spans must
+    again survive verify_mentions, proving both ingest formats yield
+    the same downstream surface on real text."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from renet2_spark.operators.tagger import verify_mentions
+    from renet2_spark.sources.bioc import parse_bioc
+    from renet2_spark.sources.pubtator import parse_pubtator
+
+    lines, expected = _real_pubtator_golden_input()
+    # doc texts from the (already-golden) PubTator render
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    spans_pt, anns = parse_pubtator(raw)
+    docs_pt = {
+        r["doc_id"]: (r["spans"][0]["text"], r["spans"][1]["text"])
+        for r in spans_pt.collect()
+    }
+    bioc_rows = []
+    for doc_id, (title, abstract) in sorted(docs_pt.items()):
+        bioc_rows.append(
+            (
+                _json.dumps(
+                    {
+                        "pmid": doc_id,
+                        "passages": [
+                            {
+                                "infons": {"type": "title",
+                                           "section_type": "TITLE"},
+                                "text": title,
+                                "offset": 0,
+                                "media_ref": None,
+                            },
+                            {
+                                "infons": {"type": "paragraph",
+                                           "section_type": "funding"},
+                                "text": "funded by x",
+                                "offset": 9000,
+                                "media_ref": None,
+                            },
+                            {
+                                "infons": {"type": "paragraph",
+                                           "section_type": "RESULTS"},
+                                "text": abstract,
+                                "offset": len(title) + 1,
+                                "media_ref": None,
+                            },
+                        ],
+                    }
+                ),
+            )
+        )
+    parsed = parse_bioc(
+        spark.createDataFrame(bioc_rows, "doc_json string")
+    )
+    # the skip-list must have dropped the funding passage
+    n_spans = {r["doc_id"]: len(r["spans"]) for r in parsed.collect()}
+    assert n_spans == {d: 2 for d in docs_pt}
+    docs = parsed.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("spans"), lambda s: s["text"]), " "
+        ).alias("text"),
+    )
+    verified = verify_mentions(anns, docs).count()
+    assert verified == 725
