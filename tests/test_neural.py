@@ -293,18 +293,24 @@ def test_pair_tensor_digest_frozen_literals(sf):
     assert got == PAIR_TENSOR_DIGESTS[sf]
 
 
-def independent_neural_edge_digest(sf_dir: str) -> tuple[int, str]:
-    """Independent recompute of the FULL neural-edge digest (r4
-    verdict stretch #7): DuckDB corpus derivation + python candidate
-    generation + score_batch forward + python vote — shares only the
-    score_batch math kernel with the Spark pipeline. prob DIGITS are
-    excluded from the digest: score_batch pads to the batch max S/T,
-    so BLAS summation order varies with batch composition and a pair
-    whose ensemble mean sits near a rounding boundary can flip its
-    printed 5th decimal (measured: 2 of 2,281 pairs at sf0.001). The
-    voted row set, names and hit counts are batch-invariant."""
-    import hashlib
+def spark_round(x: float, scale: int = 5) -> float:
+    """Replicate Spark's F.round on DoubleType (HALF_UP on the
+    shortest-decimal representation, Round -> BigDecimal.valueOf)."""
+    from decimal import ROUND_HALF_UP, Decimal
 
+    q = Decimal(1).scaleb(-scale)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def independent_neural_edges(sf_dir: str) -> pd.DataFrame:
+    """Independent FULL-ROW recompute of the neural flagship output
+    (r5 verdict next #1): DuckDB corpus derivation + python candidate
+    generation + score_batch forward + python vote/average — shares
+    only the score_batch math kernel with the Spark pipeline. Since
+    the r6 deterministic kernel (neural.py forward_all: exactly-
+    rounded fixed-order ops only, no BLAS/libm), probabilities are
+    bitwise independent of batch composition, so prob_avg IS part of
+    the frozen surface — the r5 exclusion note no longer applies."""
     docs = duckdb.sql(
         f"SELECT CAST(doc_id AS VARCHAR) doc_id, \"text\" "
         f"FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
@@ -348,21 +354,112 @@ def independent_neural_edge_digest(sf_dir: str) -> tuple[int, str]:
             hit = int((probs[i] > 0.5).sum())
             if hit < CUTOFF:
                 continue
+            # fold the 10 probs left-to-right in float64, like Spark's
+            # aggregate(probs, 0.0D, (a, p) -> a + p) in the pipeline
+            s = 0.0
+            for p in probs[i]:
+                s = s + float(p)
             r = chunk.iloc[i]
             out.append(
-                f"{r['doc_id']}|{r['gene_id']}|{r['disease_id']}|"
-                f"{r['g_name']}|{r['d_name']}|{hit}"
+                {"doc_id": r["doc_id"], "gene_id": r["gene_id"],
+                 "predicate": "associated_with",
+                 "disease_id": r["disease_id"], "g_name": r["g_name"],
+                 "d_name": r["d_name"],
+                 "prob_avg": spark_round(s / 10.0),
+                 "hit_cnt": np.int32(hit)}
             )
-    out.sort()
-    return len(out), hashlib.md5("\n".join(out).encode()).hexdigest()
+    res = pd.DataFrame(out, columns=["doc_id", "gene_id", "predicate",
+                                     "disease_id", "g_name", "d_name",
+                                     "prob_avg", "hit_cnt"])
+    res["hit_cnt"] = res["hit_cnt"].astype("int32")
+    return res.sort_values(
+        ["doc_id", "gene_id", "disease_id"], ignore_index=True
+    )
+
+
+GOLDEN_DIR = "/root/repo/tests/golden"
 
 
 @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
-def test_neural_edge_digest_frozen_literals(sf):
-    """Drift guard for oracles.NEURAL_EDGE_DIGESTS (the
-    kg_edges_neural_digest oracle): frozen (n_edges, digest) literals
-    must equal the independent recompute at both corpus scales."""
-    from renet2_spark.oracles import NEURAL_EDGE_DIGESTS
+def test_neural_edges_golden_matches_independent_recompute(sf):
+    """Drift guard for the kg_edges_neural row-level golden (the
+    driver oracle reads these parquet files): the committed golden
+    must equal the independent recompute at both corpus scales —
+    bitwise, probability digits included."""
+    golden = pd.read_parquet(f"{GOLDEN_DIR}/neural_edges_{sf}.parquet")
+    got = independent_neural_edges(f"/root/testdata/{sf}")
+    pd.testing.assert_frame_equal(golden, got, check_exact=True)
 
-    got = independent_neural_edge_digest(f"/root/testdata/{sf}")
-    assert got == NEURAL_EDGE_DIGESTS[sf]
+
+def test_neural_pipeline_matches_golden_bitwise(spark):
+    """The Spark pipeline must reproduce the frozen golden EXACTLY at
+    smoke scale — row set, names, hit counts, and every prob_avg bit
+    (possible since the r6 deterministic kernel; this is the local
+    replica of the driver's kg_edges_neural hash check)."""
+    golden = pd.read_parquet(f"{GOLDEN_DIR}/neural_edges_sf0.001.parquet")
+    got = (
+        run_neural(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["doc_id", "gene_id", "disease_id"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(golden, got, check_exact=True)
+
+
+def test_forward_all_bitwise_batch_invariance():
+    """Adversarial kernel-level invariance: scoring the same pairs
+    under many batch compositions (chunk sizes 1/7/512, shuffled,
+    reversed) must give bitwise-identical float probabilities — the
+    property the deterministic kernel exists to provide (r5 ADVICE:
+    the frozen oracle must not be environment/batching-sensitive)."""
+    from renet2_spark.dictionaries import VOCAB_SIZE
+
+    rng = np.random.RandomState(7)
+    docs = []
+    for i in range(40):
+        n_s = 1 + (i % 5)
+        tok_ids = [[int(rng.randint(1, VOCAB_SIZE))
+                    for _ in range(3 + (i + j) % 8)]
+                   for j in range(n_s)]
+        ments = [
+            {"sent_no": 0, "tok_no": 0, "type": "Gene", "entity_id": f"g{i}"},
+            {"sent_no": 0, "tok_no": 1, "type": "Disease",
+             "entity_id": f"d{i}"},
+        ]
+        docs.append({"doc_id": str(i), "gene_id": f"g{i}",
+                     "disease_id": f"d{i}", "tok_ids": tok_ids,
+                     "ments": ments})
+    pdf = pd.DataFrame(docs)
+
+    def score_comp(order, chunk):
+        p = pdf.iloc[order].reset_index(drop=True)
+        out = {}
+        for lo in range(0, len(p), chunk):
+            c = p.iloc[lo : lo + chunk].reset_index(drop=True)
+            probs = score_batch(c)
+            for i in range(len(c)):
+                out[c.iloc[i]["doc_id"]] = probs[i]
+        return out
+
+    base = score_comp(np.arange(40), 40)
+    for order, chunk in [
+        (np.arange(40), 1), (np.arange(40), 7),
+        (rng.permutation(40), 13), (np.arange(40)[::-1], 512),
+    ]:
+        got = score_comp(order, chunk)
+        for k, v in base.items():
+            assert np.array_equal(v, got[k]), k
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_scale_fingerprints_match_testdata(sf):
+    """Drift guard for oracles.SCALE_FINGERPRINTS (the corpus probe
+    that makes frozen oracles scale-adaptive): the frozen sum(n_chars)
+    must match the real corpus, and the two corpora must stay
+    distinguishable (they share a row count)."""
+    from renet2_spark.oracles import SCALE_FINGERPRINTS
+
+    got = duckdb.sql(
+        f"SELECT sum(n_chars) FROM '/root/testdata/{sf}/documents.parquet'"
+    ).fetchone()[0]
+    assert got == SCALE_FINGERPRINTS[sf]
+    assert len(set(SCALE_FINGERPRINTS.values())) == len(SCALE_FINGERPRINTS)

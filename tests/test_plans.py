@@ -178,3 +178,22 @@ def test_pack_sequences_stats_join_is_broadcast(spark):
 
     plan = _executed(pack_sequences(_docs(spark), segments=8))
     assert "BroadcastHashJoin" in plan
+
+
+def test_query_window_cap():
+    """The driver's correctness window checks at most 50 queries; a
+    51st entry would be SILENTLY evicted from per-round verification
+    (r5 ADVICE #1). Fail loudly instead, and require every queries()
+    entry except documented rows-only ones to carry an oracle."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    os_ = entry.oracle_sql()
+    assert len(qs) <= 50, (
+        f"{len(qs)} queries exceeds the driver's 50-query correctness "
+        "window — consolidate before adding (see queries() comment)"
+    )
+    missing = sorted(set(qs) - set(os_))
+    assert missing == [], f"queries without an oracle: {missing}"
+    stray = sorted(set(os_) - set(qs))
+    assert stray == [], f"oracles without a query: {stray}"
