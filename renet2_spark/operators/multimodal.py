@@ -141,12 +141,22 @@ def decode_media(media: DataFrame) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, stride: int = 4) -> DataFrame:
-    """Video-style frame sampling: frame count derived from the last
-    payload byte (read via the hex view — binary casts to arrays are
-    not supported), frames sampled every `stride`; the fan-out is a
-    native explode of a sequence (no python)."""
+    """Video-style frame sampling: frame count derived from the TRUE
+    last payload byte — hex chars length(payload)*2-1..*2, so payloads
+    of any length read their final byte (r5 verdict #6: the old
+    hardcoded position 31 was only correct for 16-byte md5 payloads) —
+    frames sampled every `stride`; the fan-out is a native explode of
+    a sequence (no python)."""
     n_frames = (
-        1 + F.conv(F.substring(F.hex("payload"), 31, 2), 16, 10).cast("int") % 32
+        1
+        + F.conv(
+            F.substring(
+                F.hex("payload"), F.length("payload") * 2 - 1, F.lit(2)
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 32
     )
     return media.select(
         "doc_id",

@@ -289,12 +289,29 @@ def tokenize_raw_sentences(sentences: DataFrame) -> DataFrame:
         away is almost surely a DIFFERENT occurrence of a tokenizer-
         REWRITTEN fragment ('can' from 'cannot' matching a later
         standalone 'can') — accepting it would advance the cursor past
-        every intervening token and silently drop their mentions. Such
-        tokens resolve to -1 (dropped by verify) and leave the cursor
-        anchored for the tokens that follow."""
+        every intervening token and silently drop their mentions.
+
+        No-complete-token-skip (r5 ADVICE): the one-gap bound alone
+        still accepted a wrong occurrence exactly one gap away when
+        the first find sat at a word START and its word was longer
+        ('can' at the head of 'cannot can' retrying onto the
+        standalone 'can'); a retry may therefore never move past the
+        END of the word containing the first find when that find was
+        word-initial — doing so skips a complete source token. In the
+        legitimate adjacent-word case the first find is mid-word, so
+        the rule never fires there. Rejected tokens resolve to -1
+        (dropped by verify) and leave the cursor anchored for the
+        tokens that follow."""
         first = sentence.find(tok, cur)
+        if first >= 0:
+            first_at_word_start = first == 0 or sentence[first - 1].isspace()
+            wend = first
+            while wend < len(sentence) and not sentence[wend].isspace():
+                wend += 1
         pos = first
         while pos >= 0:
+            if first_at_word_start and pos >= wend:
+                return -1
             gaps = 0
             in_ws = False
             for ch in sentence[first:pos]:

@@ -1295,20 +1295,22 @@ SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {k}
 
 
 # Frozen IVF centroids for the sf0.01 embeddings table (the driver's
-# correctness scale): ivf_centroids() is deterministic (bounded sorted
-# sample, fixed init, 5 Lloyd iterations), so the trained matrix is a
+# correctness scale): ivf_centroids() is deterministic (bounded
+# content-hash sample — top-512 by md5('ivf:'||vec_id), an unbiased
+# uniform draw over the corpus (r5 verdict #3), ties by vec_id —
+# hash-order init, 5 Lloyd iterations), so the trained matrix is a
 # CONSTANT of the corpus and can be inlined — the same way the LSH
 # hyperplanes are shared literals. Guarded against drift by
 # tests/test_similarity.py::test_frozen_ivf_centroids_match_sf001.
 _IVF_CENTROIDS_SF001 = [
-    [-0.007723720910014028, 0.030316361277101307, 0.15876043946622254, -0.3102930848274065, 0.02447761763651732, -0.061416192684850705, -0.07701195032945563, 0.028758012158026362, 0.17118226635865402, -0.059452425390511134, -0.06308903687881923, 0.04863470423614403, -0.08968379039695805, -0.0741006253958901, -0.11132699239231651, -0.0008848777053913053, 0.2168189343541623, 0.1581299044045863, 0.09067499742358076, 0.12488456900851967, -0.21223471076437866, 0.1005655002046439, -0.05517554788436017, -0.06881286401138781, -0.0009927265342245424, 0.24479357865275458, 0.3150226076107284, -0.018483691169834792, -0.04632467795114074, 0.23035330335427573, -0.14281880075329734, 0.19588135780466195, 0.0020352161167717943, -0.1121936176567542, 0.03687260808774761, -0.18415549751494095, -0.05635841283816232, 0.10860551917080441, 0.08722633815442, 0.006596521570608241, 0.04987380250958018, -0.017284347089034376, 0.036569317295448815, 0.046072590383409835, 0.05707089790432257, 0.1550086623200095, 0.1000853369923706, -0.12443898494007566, -0.0037925381789723814, -0.126558633930883, 0.003199659904460525, 0.11612348944944119, 0.015533031103430281, -0.18101618762359983, 0.07046682442321874, 0.0887342257521821, -0.014539284239491308, 0.0089706635391104, -0.30896913079490085, -0.06832437280545572, -0.06808499092143538, 0.1521636748561928, 0.15311609850103822, -0.11176625458266384],
-    [-0.051833849142748994, -0.016803992194068147, 0.036562942433881286, 0.022257302869791135, 0.04166875422076566, 0.1457453643392542, -0.310902860911376, -0.07576349046764598, -0.016335160272718665, -0.020567678764328134, -0.18951286705014897, 0.16020913365428405, 0.22807860746026737, -0.31524817585064385, 0.11400416343472201, -0.037845871428407556, -0.044780939558030024, -0.06962066159468078, 0.14109188812811135, -0.14754856068415734, 0.1099189800425658, 0.06413477912934601, -0.026534552984835407, -0.09121333425104793, 0.1544626172401697, 0.24383797921545017, -0.029300249631032678, -0.07973659377344466, 0.027003014198144614, 0.023237358099697975, -0.05626160593087527, 0.013884604003506062, 0.03157737876083117, 0.008634371729878099, -0.0034136167691869355, 0.011177397799180852, -0.18236161099765918, 0.07080360582625436, 0.08392588419324694, -0.2985497307647099, 0.01180984984483689, -0.15607782483013477, 0.08348909072284112, 0.03705174220918545, 0.07916583454538173, 0.06784949069449767, -0.12661402988224796, -0.04006630504222734, -0.17608551780155482, -0.3417343846402567, -0.10780419586496563, 0.030541828347003197, -0.09794698483472812, 0.019107637995588157, -0.06541765881677492, 0.1300143701004347, 0.18225795699301311, -0.006150907084107709, 0.12979062925012638, 0.0527017740787896, -0.04261572751583849, -0.02803551633548211, -0.16949658440413412, -0.010530260819743554],
-    [-0.0046051984048561066, 0.05932380099849967, -0.16190059931891024, 0.14984030899049233, 0.15050052762083307, -0.006455428105155637, -0.004579477904806723, 0.017424235951928935, 0.013264110879563773, -0.2992979199565666, -0.06287525680259712, -0.11470743212904533, -0.20015998973409369, 0.2749150214663297, -0.03307765264478385, 0.025159717943274856, -0.07476927156277106, 0.11819930614864442, -0.027251904411999293, -0.06869297727608857, 0.01904953206078262, 0.09757452286152063, 0.2747081482520301, -0.10651362616807489, -0.020200390988704128, -0.20215378960714395, 0.01002855572293628, -0.06736234385976825, -0.008693121935477971, 0.025101866117223474, -0.05748829598974574, -0.4016476346246347, -0.007783720385016089, 0.025269237920769825, 0.04011035850930058, -0.04700675971669931, 0.05756817735634469, 0.24985026520401193, 0.14645690111770443, 0.17948096536079344, 0.01237859964313533, -0.042632914871276455, 0.019743682928040067, 0.04003488355972219, 0.0010958914508276151, -0.013130718625419733, -0.03724035750761761, -0.015705190196897888, 0.14952070654834967, 0.11037993388222647, 0.15474824151887268, -0.20393382005617408, -0.03455001345173851, -0.13597531848388636, 0.18246773449023146, -0.02074266985381811, 0.044285630246127396, -0.03193227939661664, 0.0735568300235503, 0.20638599385017514, 0.14597047114005202, 0.023389279249734277, 0.10613857122369301, -0.017383806917640642],
-    [-0.09155143984195449, -0.002511962302063983, -0.08936045794635131, -0.08879579305153405, -0.12457825566940915, 0.04850525059313607, 0.12062351577530243, 0.055529297836513995, -0.025831924876729192, -0.012204524367309715, 0.024878037854361705, 0.17535330742792354, 0.07430644231121694, 0.3139013391033048, 0.12027036948238061, 0.008465848229613496, -0.13056118744726872, -0.20425365244486318, 0.013769379317673148, 0.07962366713460661, 0.03793186945238853, -0.022010459434781336, -0.04265379862861496, 0.07963779036961202, -0.029097172281676912, 0.11755453550259976, -0.077282502950901, -0.02009072509042585, -0.23432833842239162, -0.10299801589427897, -0.08030486743207707, 0.018372517511065594, 0.271388526454261, -0.05162158363537957, 0.09628408617741849, -0.046626818410327175, 0.08344311804754279, -0.16125758619615926, -0.18995249216230708, -0.12054443720715839, -0.03777244854185974, -0.15031207454857048, -0.3339893004056656, -0.13197650032573088, 0.03703840102369148, 0.00503762120197013, -0.07799329393899336, -0.15716113638799595, 0.20813125617091865, -0.15508278039065296, 0.10962101233484672, -0.05761341476230107, 0.06600859779946677, 0.09629961638077929, -0.15608392588103928, -0.09655383615897266, -0.02700495223312221, -0.0395721937756844, 0.14586692853974467, -0.18077253567936455, 0.13070140504509584, 0.08064055241366101, -0.02931798423231202, -0.2313178644963435],
-    [0.08273557024651895, 0.0005337271623664747, 0.2737935728649479, -0.0631873721714755, -0.13639061318871737, -0.2834997182676381, 0.1398557772839182, -0.05544418906593649, -0.029685027513833305, 0.16879122682127146, 0.0785178121565209, -0.26699181047038495, 0.07255874622249939, -0.10525579625120911, 0.08671600851232335, -0.06638139100534313, 0.1731078336862474, 0.07711521952798962, 0.07834717545974272, 0.12516465793868126, -0.04729302746038558, 0.04462541585455897, -0.08126175008324975, 0.06328043447802034, -0.11677936311489888, 0.030588985599344195, 0.042557837565065586, 0.03286064698854552, 0.09420810528565343, -0.18265130268629517, 0.14890267211933553, -0.11992919033380302, 0.04899339810196596, 0.05878809921793349, 0.13611872613471682, -0.23778421874721165, 0.057551673641292884, -0.33778896708936684, -0.10678571341477894, 0.07263695394506807, 0.06541945983749312, 0.04298257959265808, -0.012185810151640534, 0.04908908617885934, -0.10952418833444418, -0.05846105227915549, -0.11378255066381192, 0.14390098852706168, -0.08279333615355104, -0.006417818935261132, -0.0010490582332139456, -0.005825194925636477, 0.10062403774645128, 0.02237467517140789, 0.32775979964983337, -0.10798279030620203, 0.001093681509349, -0.01007662715074563, 0.09891977083052073, 0.008352670729381317, -0.24702572021505637, -0.08364488664188499, 0.02978358772491709, -0.020309257318325155],
-    [-0.08441947239527371, -0.0420433130875447, 0.07281756465802683, 0.029326368820609107, 0.2467769157822163, -0.03163447668828054, -0.2076770848094848, 0.3049455940918301, -0.10362545633309127, 0.045852103338422955, 0.07995272927730024, -0.025492523017061945, 0.05160676983591903, 0.06697827186823425, -0.09430400115304655, 0.050019750172196564, -0.0490949071376624, -0.17186850746652876, -0.10406230309092797, 0.09710820977502634, 0.02051940624495816, -0.11383997926867012, 0.09193069187216579, -0.038408509077542966, 0.08294475936700935, 0.17150834759911043, -0.11676301906883697, 0.01642322427303059, 0.01501020771686394, 0.05872990086426541, 0.06670204697904289, -0.0488206398014827, -0.0012520492005362715, -0.007102668646099647, -0.06887014731253087, 0.17834071805731389, 0.012373452114194688, 0.22557867240015855, -0.06916511225165063, 0.09818660342860755, -0.16769191002546097, 0.1546142357979063, 0.03138262823798296, 0.11317262711080073, -0.35300523978257037, -0.19450464930760614, 0.0542925821286355, -0.0965964417140938, -0.07129819535327883, 0.10584142873904752, 0.15801009626874388, 0.10551207076519035, 0.029051081041828644, 0.10379876453634838, -0.14817757465055495, -0.29219421608702917, 0.17854963076464025, -0.18965696559896272, -0.019710405772607263, -0.037356331028608365, -0.010798635133701589, 0.10772834143525746, -0.0946306108104324, 0.0895499679592787],
-    [-0.05872664148236497, -0.1872102614438296, -0.028094453210236743, -0.02720857096429867, 0.17953274959096235, 0.26239495955825726, -0.10927041274477862, -0.17684531254891825, 0.05778432346768876, 0.1766482049365235, 0.21569240596624495, 0.07179759715224898, -0.011167704025450574, 0.15373861355869847, -0.010956748547751116, 0.13747369531914203, 0.09624245266143855, 0.2181114805551964, -0.22632440709662752, -0.15993367680662465, -0.008712849786154728, -0.05790936973490765, -0.012391011317740907, -0.2232330315524672, -0.13876967138462368, -0.033706178185595986, -0.027130438752861728, 0.184422069507424, 0.09324924912767692, -0.1634105378105306, 0.036228296165969946, 0.014842549937878589, -0.0075701684261893975, -0.1926956436327324, -0.08213087509742627, 0.198802816180552, 0.06463299166803248, -0.07363388837107078, -0.021171807230835376, -0.011894131712553737, 0.07981846326437166, -0.08798551869876695, 0.019409453591860287, -0.10433333035157574, 0.009361799456243585, 0.01817117516250445, 0.0984688330529896, 0.20490543956756324, 0.07641725970063049, 0.03486197414848676, -0.11633248190624575, -0.010231184546251064, 0.20054112462480328, -0.0034011381067151937, 0.0851683563137476, 0.1316700418778785, -0.2435207665912691, 0.1879446615059034, -0.026207712768693252, -0.1946264466267218, 0.07285241527107747, -0.02334380540912249, -0.009366262850376627, 0.10856406926312799],
-    [0.3027760333613583, 0.05886329993972213, -0.12797499021023456, 0.12086648417473583, -0.13758465874564096, 0.0942004270817584, -0.037911218631863614, 0.15905985212177715, -0.11747604572326352, -0.0617667791846433, 0.07340563464360121, 0.013264427025035623, -0.23381336500996897, -0.25531707605718695, -0.07026043008311568, 0.034455407294821695, -0.06397264162923993, 0.0747109781296544, 0.06911396571728994, 0.015025290055186423, -0.05958556893300173, -0.0027070317692249363, -0.02177190311469373, 0.16911934773646844, 5.7870665527979576e-05, -0.2054542831626902, -0.11215041601639339, 0.24002643968595697, 0.011201172032950799, 0.13829167195515255, 0.23309231507453623, 0.12800089072697746, -0.07942657544812606, 0.09138103132888648, 0.0386442832637635, 0.07057983763758131, -0.19156117330724212, -0.1519835797978104, 0.057590338625704236, 0.05896807170979752, -0.04257906463862124, -0.10440602515381357, 0.15328997717659146, -0.058480034496216735, -0.026571261363716, 0.1617809318534788, 0.0633228260714119, 0.24589089000271608, -0.1958344020744015, 0.05965189732181867, 0.09153548544934523, -0.041400543660741286, -0.06316813707377171, -0.07649412055073578, -0.09306654866116704, 0.07262514823174973, 0.024083322797440507, 0.00528376727030019, -0.24400538342173037, -0.00943014041782055, -0.00884337249252375, -0.0795685269326018, 0.023511262110826898, -0.24251870548264312],
+    [0.22656127091999714, 0.023647940401110505, 0.1284669693647345, -0.008748738662072661, 0.0296960043209189, 0.0070711037719301895, -0.2291934071241762, -0.03710482962424419, -0.018251980839796216, -0.16757530275088195, -0.03441945072847571, 0.02241779120396298, -0.06679313529611328, -0.00531975282083313, 0.0027746307535043476, -0.09829541151083493, -0.17098590617842008, -0.16322114087337525, 0.0301659349651592, -0.04390118419796498, -0.2444926005712003, 0.13928964993693566, -0.0329308573303804, 0.28756475807182447, 0.14780967155209135, 0.09189698260877419, 0.291250712554441, 0.043438005268199846, 0.02861721411851151, 0.18748713233720296, -0.10465489582167094, 0.0766162556619175, -0.11064433953708724, 0.0036828527139623536, 0.06818733622314918, -0.09911393393645584, -0.08964088398153255, 0.16418281147216, -0.027315830334685712, 0.05867853921302936, -0.15084611285808852, -0.03254632784620876, 0.14014391958065298, 0.08041091149886193, -0.2160484035550993, 0.036792659703564254, 0.008810465987200922, -0.20322951371850043, -0.08243635594674067, 0.22991170361740668, 0.15798516029201667, 0.07290897404328185, 0.07714534179980197, 0.06706523678904229, 0.018319001571411645, 0.079392423588349, 0.06699347710182336, -0.01235840298876084, -0.24748270229626237, -0.001038520096467458, 0.10725372474070355, -0.19816625071217348, 0.10805072466785967, 0.019093863577826612],
+    [-0.12439333390810058, -0.15648058455275296, -0.04015086503933547, -0.04959965668327345, 0.009224481466273, 0.10298297426440191, -0.18651699865639187, 0.015636127734519067, 0.12697622322866012, 0.1921542568520953, -0.1628352285706671, 0.10653609813766855, 0.11281460629966568, -0.1043155179410626, 0.10773253250668594, 0.02622578931645371, 0.046444348226589376, -0.1454180549878826, 0.15977488326250824, 0.030816687661290747, 0.11929881172998057, 0.06636195858381701, 0.03828684198658445, 0.050712692156042426, -0.01498972073071161, 0.30244062294155916, -0.019527143892636413, -0.1519094570239694, -0.0584521684756493, -0.24309808764455368, -0.0767076157296982, 0.12116522522568628, 0.13969013307939315, 0.0028765150184525963, 0.17659009279680987, -0.09280517288858363, -0.05017009344174217, -0.024132125305108977, -0.09664964789509783, -0.22155312621068057, 0.029616355554927833, -0.11284652269766209, -0.1385250603668138, -0.12590696273263197, -0.04845729248763755, 0.10372496393091708, -0.15141465321718378, -0.02993684282527751, -0.05075448787226305, -0.09921275991410321, 0.03195757766270139, -0.024862469770407968, 0.0024697364880760402, -0.05043360921699442, -0.16739797707551365, -0.15691218006315916, 0.11264517340767143, 0.13389721404691698, 0.305997623630817, 0.07055383310874971, 0.0006814074014339473, 0.1879248044346698, -0.17465828224091365, -0.20497012215817786],
+    [-0.2478029324251088, 0.033323085771826216, -0.27488522281747046, 0.2103157060634491, 0.1253136251026892, 0.13137032486149786, 0.13901465283261136, -0.054797433646373316, 0.10292997059713511, 0.005002787787830189, 0.021735533035150512, -0.020588543540568837, -0.18163731725019425, 0.04887521386417215, -0.11928866345804841, -0.0988698452444216, 0.03469019200922701, -0.0007129025319268194, -0.1366506388958168, 0.0613496795325485, -0.01321499686534729, -0.16475794897420995, 0.086751596577144, -0.052612857137280235, 0.009345102311199146, -0.06364444424888506, -0.08621923080373327, 0.24026836655972184, -0.11726568003776665, 0.08235553735228864, 0.2163812104384101, -0.35549967598809684, 0.09518715124506084, 0.008202286300847458, 0.03131838701475454, -0.13340242575562714, 0.10166596458345835, 0.03490397678809925, -0.062310596436618244, 0.11587202480194514, -0.21021739024735936, 0.2086736986072133, -0.08023100810453837, -0.0983053271933086, -0.00930697061193384, -0.03492685035782192, -0.13373414649233975, 0.09273627567209569, 0.013893981060926977, -0.006350081348690794, 0.08360995767329624, -0.21653597207620165, -0.27118477238178723, -0.10046032189406304, -0.053573959447343764, 0.10498221221254161, 0.09985072747953028, -0.012943295330280706, -0.09209708707609189, -0.025753868862824603, 0.08264359823007586, 0.02098229338535547, 0.017280731774709047, -0.01795824308204691],
+    [-0.20559819435499252, -0.08277968367110305, 0.15732897021347025, -0.0126666290194856, 0.11986690685636163, -0.005648299558565972, -0.07448065621938418, -0.10130686533616506, -0.00751893540832142, 0.11240862310665983, -0.04469620549903735, -0.09688396521834157, -0.008643510359067741, 0.17565412225835214, 0.0811434389924368, 0.007241459509912687, 0.05880272408930238, 0.054660394491065814, -0.05832022879817732, -0.02247006704418367, -0.16937806929415009, -0.13673047864558596, -0.011106568098846576, -0.17645065183770028, -0.18317038216040749, -0.0716094375311559, -0.013597744888809023, -0.08039312664006526, 0.11228685498844301, -0.07762287450066559, 0.15536021718743362, -0.012387614167585005, 0.07332335172291778, -0.14226628098283708, -0.03903661738699948, 0.12618247555319254, 0.04247222540773231, 0.016924943729153107, -0.24385947558284793, 0.1424736191961263, 0.1721855370542995, -0.0708607730426773, 0.0857815598501106, 0.38753132474345975, -0.03436097092484403, 0.0532683830854804, 0.07963812993479925, 0.05802784438559897, -0.2734085092348435, 0.00268179033314021, -0.13472353156602382, 0.2843180879641475, 0.2511702757148642, -0.03021885208921826, 0.12198057446278543, 0.05118647069695874, -0.04600771335194902, 0.040610057743770994, -0.00015090244313021035, -0.09026650662892537, -0.14331925298938974, -0.09609193742501639, -0.09491245659333661, 0.14166869368009155],
+    [0.12158148926104531, -0.2585229988043407, 0.01564565530284589, 0.06376400597404856, -0.026757426974177673, 0.026610545655814857, -0.1502926476823564, 0.3281052905389404, -0.12884347453726558, 0.25119766221096895, 0.08539905638107763, 0.07651072625037579, -0.20276242483824372, -0.20592373440337347, 0.03760302541248035, -0.13424845055942836, -0.008198523992050274, -0.025724928477879803, -0.009343885825413348, 0.19435948273040904, 0.05731702361712857, -0.09333306555525468, 0.11589719934631762, 0.03542449418281279, -0.019601209196723812, 0.17444757950013387, -0.1394694404623466, 0.15890443671133567, -0.1422182986399958, 0.3265414807309195, -0.01658888446724897, 0.2652167642212078, 0.040438803994984444, -0.04413293143699284, -0.0002872969781781814, 0.1889184304836228, -0.17095768922989965, -0.04856488566843371, 0.00473701573268755, 0.1296228872373272, -0.041554691310690714, 0.007958325618636644, 0.015194015318775275, 0.06995940453755967, -0.0636728591398173, -0.11155028150880582, 0.1407130403781023, -0.036784386659266054, 0.10051875380447516, -0.19281343525203792, 0.10706671490284833, 0.0016300466331791558, -0.03407490786184023, 0.03504531695096997, -0.08269205700151289, 0.048832866388650746, 0.04015651239143533, -0.06431481659920273, -0.07512760442783276, -0.004794504858790395, -0.01855852543257794, 0.1269083791593634, 0.004700342181969004, -0.13358848432931691],
+    [-0.005389582523981167, 0.061022901350000276, -0.07837872535002555, -0.09649918858345029, -0.04298166770983941, 0.06997611616792586, 0.14255478728783078, -0.12292969925160106, -0.15459439357682678, -0.20957957030090033, 0.10967533412412453, -0.3014179668169981, -0.11619595077693046, -0.012400759457109115, -0.2154195843413066, -0.10644738324770589, 0.17353181602287993, 0.3215898789342615, 0.06374836998095923, 0.034078893530688985, 0.1770730739555045, 0.20234048400009408, 0.003867220527748513, -0.13101975034971305, 0.04888624946949274, -0.22805596617558935, 0.12721747373143885, -0.004721048850003639, 0.08269334330154506, 0.06299079694661315, -0.0743031647297755, -0.025906333022438388, -0.001270951339143681, -0.054911532132070624, 0.038952394916786946, 0.15363553978930353, 0.152675215654776, -0.0492244917316234, -0.0013903273645466923, 0.005827695229569988, -0.059355376880464786, 0.0371073221450813, -0.04407270880480558, -0.27790581624854, 0.08191550157638432, -0.04269513345890402, 0.10940297808403525, -0.03093544846837544, 0.03141901013602902, -0.18281801916731166, -0.0846946077028127, -0.06622877391049753, 0.15352189890931708, -0.0939868565473461, 0.061957876720680045, -0.14148186936353815, -0.22176802234675402, -0.05510506653195771, 0.006704361501527576, 0.11245205197547738, -0.11115981387301753, 0.11791365560182591, -0.03093792163914247, -0.16396607575844463],
+    [0.2533146487087521, 0.052029090572943616, 0.060467509063511414, 0.039846683069392465, 0.025253959809431143, -0.03788155306248244, -0.14848379223697125, 0.15947501609412829, -0.0984284570300333, -0.20524893643210682, -0.004877676633504566, 0.1992490721284429, -0.008814727500707211, 0.1492330692346574, -0.15264443770021707, 0.41503643023763365, -0.029215836904503165, -0.006714858459707647, -0.021811566860078922, -0.23450996460395437, -0.12034958393816166, 0.12819708822537962, 0.12090103693041233, -0.1280787856162186, -0.06474784768161074, -0.03604442538841682, -0.2185919802107352, -0.04914963087476277, 0.048217126786368546, -0.19131954904704218, 0.27228626961620644, -0.07297335561398369, -0.11438836795688852, -0.09509814246997805, -0.10206026462770183, -0.10076860174645011, -0.035606769742302924, 0.03514413166512627, 0.15887484139567398, -0.09711831079638943, 0.034474028512682005, -0.015689958771095535, -0.015543750409922652, -0.01503869378997229, 0.0038999873150098456, 0.12092250805675013, 0.04122796708521647, 0.3187030127996933, 0.04213176152624404, -0.11177806555149063, 0.02742052200150601, 0.03412402181774078, 0.04264420198209425, 0.0952067691254058, 0.10787959145597656, -0.06535955718046035, -0.03207509317223525, 0.01314703044557335, 0.046291529782054835, -0.04486960027666801, -0.03339399882057908, -0.04872519696648822, 0.08235461211452773, 0.13490414401655085],
+    [-0.024223280037312923, 0.1813993695124572, 0.1277133322279318, -0.2411838610282614, 0.08125275671425518, -0.04993659538588032, 0.013927190524909467, 0.03817443556696015, 0.09103413935873728, 0.010756797743852771, 0.2300353697276984, 0.037281067587647154, 0.30928819357761084, 0.04123742568396958, 0.2240242153526403, 0.07731860784614143, 0.007032607526520307, 0.16711084793634495, -0.08315684043537114, 0.04781785308970976, 0.04152462373777842, -0.12577167026985947, -0.19046757149503896, -0.1396598231228682, 0.005105022402999873, 0.1315203326798586, 0.03574740995074253, 0.19789656882942527, 0.018125734401162965, -0.051592666796337686, -0.16267015665812146, -0.2034177996197964, 0.12993053356768858, 0.09828054342284796, -0.0322975272252198, 0.03125509960825331, -0.0697984986446002, -0.15447895136369558, 0.167222634491602, -0.0660973784727994, 0.14552996703721308, -0.30973138998265093, 0.07220692261347704, 0.030634856357427305, -0.056648332322589076, -0.03973617180398702, -0.08076155045553242, -0.013584760925224756, 0.059545318774164184, 0.07236947228486698, 0.0673050528900511, -0.10035093440414013, 0.018044259630532997, -0.057848474520607096, 0.14970998635906166, 0.0259339080006849, 0.09822841876296834, -0.12809579255110345, -0.15316522421832487, -0.27279871816668655, 0.08756636109454109, 0.0017989870282135673, 0.0544922936817794, -0.12977753383725343],
 ]
 
 

@@ -440,6 +440,51 @@ def test_media_decode_real_image_headers(spark):
     assert got["img://d2/1"] == (80, 80, 1)
 
 
+def test_sample_frames_true_last_byte_any_payload_length(spark):
+    """r5 verdict #6: sample_frames must derive the frame count from
+    the TRUE last payload byte for payloads of ANY length (the old
+    hex position 31 was only the last byte of 16-byte md5 payloads).
+    Fixture covers >16-byte, <16-byte and exactly-16-byte payloads;
+    a DuckDB mirror of the same length-relative hex arithmetic
+    cross-checks the SQL formulation."""
+    import duckdb
+
+    from renet2_spark.operators.multimodal import sample_frames
+
+    payloads = {
+        "img://d1/0": bytes(range(40, 60)) + bytes([0xFF]),  # 21 bytes
+        "img://d1/1": b"\x01\x02\x03\x04\x05\x06\x07",  # 7 bytes
+        "img://d2/0": b"\xab" * 15 + b"\x22",  # 16 bytes (md5-like)
+    }
+    rows = [
+        (ref.split("//")[1].split("/")[0], i, ref, bytearray(pl))
+        for i, (ref, pl) in enumerate(sorted(payloads.items()))
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id string, media_no int, media_ref string, payload binary",
+    )
+    got = sample_frames(media, stride=4).collect()
+    by_ref: dict[str, list] = {}
+    for r in got:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    for ref, pl in payloads.items():
+        expect_n = 1 + pl[-1] % 32
+        frames = sorted(r["frame_no"] for r in by_ref[ref])
+        assert all(r["n_frames"] == expect_n for r in by_ref[ref])
+        assert frames == list(range(0, expect_n, 4))
+    # DuckDB mirror: same length-relative last-byte hex read
+    con = duckdb.connect()
+    for ref, pl in payloads.items():
+        h = pl.hex()
+        (n,) = con.execute(
+            "SELECT 1 + ((strpos('0123456789abcdef', substr(?, length(?) - 1, 1)) - 1) * 16"
+            " + (strpos('0123456789abcdef', substr(?, length(?), 1)) - 1)) % 32",
+            [h, h, h, h],
+        ).fetchone()
+        assert n == 1 + pl[-1] % 32
+
+
 def test_stream_dedup_exact_stateful_across_batches(spark):
     """Custom stateful operator (applyInPandasWithState): exact dedup
     whose state survives ACROSS micro-batches and across query

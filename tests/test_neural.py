@@ -302,7 +302,9 @@ def spark_round(x: float, scale: int = 5) -> float:
     return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
-def independent_neural_edges(sf_dir: str) -> pd.DataFrame:
+def independent_neural_edges(
+    sf_dir: str, margin_out: list | None = None
+) -> pd.DataFrame:
     """Independent FULL-ROW recompute of the neural flagship output
     (r5 verdict next #1): DuckDB corpus derivation + python candidate
     generation + score_batch forward + python vote/average — shares
@@ -350,6 +352,8 @@ def independent_neural_edges(sf_dir: str) -> pd.DataFrame:
     for lo in range(0, len(pdf), 512):
         chunk = pdf.iloc[lo : lo + 512].reset_index(drop=True)
         probs = score_batch(chunk)
+        if margin_out is not None and len(chunk):
+            margin_out.append(float(np.abs(probs - 0.5).min()))
         for i in range(len(chunk)):
             hit = int((probs[i] > 0.5).sum())
             if hit < CUTOFF:
@@ -387,8 +391,19 @@ def test_neural_edges_golden_matches_independent_recompute(sf):
     must equal the independent recompute at both corpus scales —
     bitwise, probability digits included."""
     golden = pd.read_parquet(f"{GOLDEN_DIR}/neural_edges_{sf}.parquet")
-    got = independent_neural_edges(f"/root/testdata/{sf}")
+    margins: list[float] = []
+    got = independent_neural_edges(f"/root/testdata/{sf}", margins)
     pd.testing.assert_frame_equal(golden, got, check_exact=True)
+    # r5 ADVICE #2: even with the bitwise-deterministic kernel, guard
+    # the frozen golden against a per-model prob sitting AT the 0.5
+    # vote cutoff. Bitwise determinism is the primary defense (no
+    # reordering can change any bit); this margin catches a prob
+    # landing exactly on, or within ~a couple f32 ulps (2^-24 ~ 6e-8
+    # at 0.5) of, the strict > comparison — the one place where even
+    # a single-ulp environment difference would flip a vote. Measured
+    # minima: ~9e-4 at sf0.001, ~5.7e-7 (~10 ulps) at sf0.01.
+    margin = min(margins)
+    assert margin > 1e-7, f"per-model prob within {margin} of vote cutoff"
 
 
 def test_neural_pipeline_matches_golden_bitwise(spark):

@@ -11,11 +11,12 @@ QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
 # oracles whose literals are constants of the sf0.01 corpus (the
-# driver's correctness scale) — checked at sf0.01 below, not sf0.001
+# driver's correctness scale) — checked at sf0.01 below, not sf0.001.
+# kg_pair_tensors_digest / kg_edges_neural select frozen literals by
+# the corpus-fingerprint probe and carry rows for BOTH scales, so they
+# run in the regular sf0.001 set above.
 SF001_ONLY = {
     "ann_topk_ivf",
-    "kg_pair_tensors_digest",
-    "kg_edges_neural_digest",
 }
 
 

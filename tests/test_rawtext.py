@@ -266,6 +266,38 @@ def test_rewrite_fragment_does_not_overshoot_cursor(spark):
     ]
 
 
+def test_rewrite_fragment_one_gap_standalone_not_stolen(spark):
+    """r5 ADVICE #3: the one-gap retry bound alone still let a
+    word-INITIAL fragment ('can' at the head of 'cannot') steal a
+    standalone occurrence exactly one gap away ('cannot can'),
+    advancing the cursor past intervening tokens. The
+    no-complete-token-skip rule rejects any retry past the end of the
+    first find's word when the find was word-initial: the fragment
+    resolves -1 and NO token ever receives a wrong span (the ambiguous
+    standalone drops too — safe, verify-consistent)."""
+    from renet2_spark.functions.text import sentences_from_raw_text
+    from renet2_spark.operators.tagger import tokenize_raw_sentences
+
+    docs = spark.createDataFrame(
+        [("1", "You cannot can .")], "doc_id string, text string"
+    )
+    rows = sorted(
+        (
+            (r["tok_no"], r["token"], r["start"], r["end"])
+            for r in tokenize_raw_sentences(
+                sentences_from_raw_text(docs)
+            ).collect()
+        )
+    )
+    assert rows == [
+        (0, "You", 0, 3),
+        (1, "can", -1, -1),  # head fragment of 'cannot' — must NOT
+        (2, "not", -1, -1),  # land on the standalone 'can' at 11
+        (3, "can", -1, -1),  # ambiguous with the fragment — dropped
+        (4, ".", 15, 16),
+    ]
+
+
 def test_cli_predict_routes_raw_on_variable_corpus(spark):
     """CLI predict (default --corpus auto) on a punctuated
     variable-length corpus must produce the general tagger's edges
