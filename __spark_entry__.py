@@ -77,7 +77,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_documents(spark, sf_dir)
+    from renet2_spark.corpus import ingest_parallelism_floor
+
+    # scan-heavy contract queries (shingle dedup, raw tokenize, text
+    # profiling) do their expensive work BEFORE their first shuffle —
+    # floor the scan parallelism so it isn't single-task on the
+    # sandbox's one-split files (no-op on multi-split corpora; see
+    # ingest_parallelism_floor + BENCH.md r6 A/B)
+    return ingest_parallelism_floor(load_documents(spark, sf_dir), spark)
 
 
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -298,6 +298,217 @@ def run_stage_profile(sf_dir: str, cpus: str) -> dict:
     return {"cpus": int(cpus), "sec": wall, "n_docs": n_docs, "stages": stages}
 
 
+def run_skew_ab(sf_dir: str, cpus: str) -> dict:
+    """Hot-entity skew A/B (r5 verdict #5, SURVEY §7.1 stage 5): build
+    a corpus where ONE disease id appears in ~50% of documents, then
+    aggregate entity stats (count + countDistinct(doc_id), the
+    build_nodes shape) both UNSALTED (single reducer owns the hot
+    key's whole doc set) and SALTED (skew.salted_count: 16-way
+    two-phase). Reports wall seconds AND the reduce-stage task-time
+    distribution parsed from the Spark event log — the straggler is
+    visible as max_task_s >> p50_task_s on the unsalted plan.
+
+    Deterministic hot corpus: sf docs replicated xSPARK_GRAFT_SKEW_REP
+    (default 32, doc_id remapped), then every EVEN doc_num gets one
+    extra packed 10-word sentence carrying the corpus's top disease
+    surface — stays inside the packed contract (whitespace tokens,
+    10-word windows), so the arithmetic tagger applies unchanged."""
+    import glob
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from renet2_spark.operators.skew import salted_count
+    from renet2_spark.plans.pipeline import build_mentions
+    from renet2_spark.session import get_spark
+
+    rep = int(os.environ.get("SPARK_GRAFT_SKEW_REP", "32"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SKEW_ROUNDS", "2"))
+    evdir = tempfile.mkdtemp(prefix="skewev_", dir="/dev/shm")
+    os.makedirs("/dev/shm/spark-local", exist_ok=True)
+    spark = get_spark(
+        app_name=f"renet2_skew_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(8, 4 * int(cpus)),
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.local.dir": "/dev/shm/spark-local",
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{evdir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        },
+    )
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # RAREST disease surface = the hot entity we amplify (injection
+    # then controls the hot fraction at ~50%; the corpus's own top
+    # disease already sits in >90% of docs, which would mask the A/B)
+    ments = build_mentions(spark, base, corpus="packed")
+    hot = (
+        ments.filter(F.col("type") != "Gene")
+        .groupBy("entity_id", "mention")
+        .count()
+        .orderBy("count", "entity_id", "mention")
+        .first()
+    )
+    hot_id, hot_surface = hot["entity_id"], hot["mention"]
+    filler = " ".join(f"zq{i}" for i in range(9))  # 9 no-dict words
+    docs = (
+        base.repartition(4 * int(cpus))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(rep - 1))).alias("r"), "*"
+        )
+        .select(
+            (F.col("doc_id") + F.lit(1_000_000) * F.col("r")).alias("doc_id"),
+            F.when(
+                (F.col("doc_id") + F.lit(1_000_000) * F.col("r")) % 2 == 0,
+                F.concat("text", F.lit(f" {filler} {hot_surface}")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    # materialize the tagged mentions ONCE so both variants aggregate
+    # the identical input (isolates the aggregation strategies)
+    mroot = tempfile.mkdtemp(prefix="skew_m_", dir="/dev/shm")
+    build_mentions(spark, docs, corpus="packed").write.mode(
+        "overwrite"
+    ).parquet(f"{mroot}/mentions")
+    mentions = spark.read.parquet(f"{mroot}/mentions")
+    n_mentions = mentions.count()
+    n_docs = docs.count()
+    hot_docs = mentions.filter(F.col("entity_id") == hot_id).select(
+        "doc_id"
+    ).distinct().count()
+
+    from renet2_spark.operators.skew import salted_collect_set
+
+    def count_unsalted():
+        return (
+            mentions.groupBy("type", "entity_id")
+            .agg(
+                F.count("*").cast("long").alias("n_mentions"),
+                F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            )
+            .count()
+        )
+
+    def count_salted():
+        return salted_count(
+            mentions, keys=["type", "entity_id"], doc_col="doc_id",
+            salt_buckets=16,
+        ).count()
+
+    # the HOLISTIC shape: per-entity distinct doc set as a value
+    # (collect_set partials stay large — the case the skew module's
+    # docstring claims salting for)
+    def set_unsalted():
+        return (
+            mentions.groupBy("type", "entity_id")
+            .agg(F.size(F.collect_set("doc_id")).alias("n"))
+            .count()
+        )
+
+    def set_salted():
+        return salted_collect_set(
+            mentions, keys=["type", "entity_id"], value_col="doc_id",
+            salt_buckets=16,
+        ).count()
+
+    variants = [
+        ("count_unsalted", count_unsalted),
+        ("count_salted", count_salted),
+        ("set_unsalted", set_unsalted),
+        ("set_salted", set_salted),
+    ]
+    for _, fn in variants:
+        fn()  # warm (JIT) lap
+    marks: dict[str, list] = {name: [] for name, _ in variants}
+    for _ in range(rounds):
+        for name, fn in variants:
+            t_mark = time.time() * 1000
+            t0 = time.perf_counter()
+            n_groups = fn()
+            marks[name].append(
+                (t_mark, round(time.perf_counter() - t0, 3), n_groups)
+            )
+    spark.stop()  # flush event log
+    shutil.rmtree(mroot, ignore_errors=True)
+
+    # per-task durations from SparkListenerTaskEnd, windowed by t_mark
+    tasks = []  # (launch_ms, dur_s, stage_id, n_records_read)
+    for path in glob.glob(f"{evdir}/**/*", recursive=True):
+        if os.path.isdir(path) or "appstatus" in os.path.basename(path):
+            continue
+        with open(path, errors="ignore") as f:
+            for line in f:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                ev = json.loads(line)
+                ti = ev.get("Task Info", {})
+                launch, finish = ti.get("Launch Time"), ti.get("Finish Time")
+                if not launch or not finish:
+                    continue
+                sm = (ev.get("Task Metrics") or {}).get(
+                    "Shuffle Read Metrics"
+                ) or {}
+                recs = sm.get("Total Records Read", 0)
+                tasks.append(
+                    (launch, (finish - launch) / 1000.0,
+                     ev.get("Stage ID"), recs)
+                )
+    shutil.rmtree(evdir, ignore_errors=True)
+
+    def window_stats(t_mark: float, wall: float) -> dict:
+        # tasks of this run = launched in [t_mark, t_mark+wall+slack];
+        # the reduce stage of interest = the stage moving the most
+        # shuffle-read records in the window (AQE splits runs into
+        # several small stages — per-stage grouping keeps attribution
+        # honest)
+        win = [t for t in tasks
+               if t_mark <= t[0] <= t_mark + wall * 1000 + 2000]
+        by_stage: dict = {}
+        for t in win:
+            by_stage.setdefault(t[2], []).append(t)
+        if not by_stage:
+            return {"n_tasks": 0}
+        sid, stasks = max(
+            by_stage.items(), key=lambda kv: sum(t[3] for t in kv[1])
+        )
+        durs = sorted(t[1] for t in stasks)
+        p50 = durs[len(durs) // 2]
+        recs = sorted(t[3] for t in stasks)
+        return {
+            "n_tasks": len(durs),
+            "max_task_s": round(durs[-1], 3),
+            "p50_task_s": round(p50, 3),
+            "imbalance_max_over_p50": round(durs[-1] / max(p50, 1e-3), 1),
+            "max_task_records": recs[-1],
+            "p50_task_records": recs[len(recs) // 2],
+            "stage_records": sum(recs),
+        }
+
+    out: dict = {
+        "metric": "skew_ab",
+        "cpus": int(cpus),
+        "n_docs": n_docs,
+        "n_mentions": n_mentions,
+        "hot_entity": hot_id,
+        "hot_surface": hot_surface,
+        "hot_doc_frac": round(hot_docs / n_docs, 3),
+    }
+    for name, _ in variants:
+        runs = marks[name]
+        best = min(runs, key=lambda r: r[1])
+        out[name] = {
+            "all_runs_sec": [r[1] for r in runs],
+            "best_sec": best[1],
+            "n_groups": best[2],
+            "reduce_tasks": window_stats(best[0], best[1]),
+        }
+    return out
+
+
 def bandwidth_control() -> dict:
     """Memory-bandwidth-BOUND control job (per-row large string
     allocation + hash): brackets the flagship between the pure-CPU
@@ -438,6 +649,8 @@ if __name__ == "__main__":
         print(json.dumps(run_flagship_once(sys.argv[2], sys.argv[3], mode)))
     elif len(sys.argv) > 1 and sys.argv[1] == "--stage-profile":
         print(json.dumps(run_stage_profile(sys.argv[2], sys.argv[3])))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        print(json.dumps(run_skew_ab(SF_DIR, CPUS)))
     elif len(sys.argv) > 1 and sys.argv[1] == "--bw-control":
         print(json.dumps(bandwidth_control()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":

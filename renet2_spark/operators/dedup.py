@@ -275,6 +275,7 @@ def dedup_minhash_lsh(
     max_shingle_docs: int | None = MAX_SHINGLE_DF,
     max_bucket_size: int | None = MAX_LSH_BUCKET,
     broadcast_dropped: bool = True,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates (same band bucket) verified by exact jaccard
     computed ONLY over the candidate set: (doc_a, doc_b, jaccard).
@@ -290,7 +291,16 @@ def dedup_minhash_lsh(
     candidate pair's intersection is counted by two equi-joins keyed
     (doc_a) and (doc_b, shingle). No shingle self-join over the corpus
     exists anywhere in this plan. Jaccard arithmetic (capped n_common /
-    uncapped n_a / n_b) matches the exact path and the DuckDB oracle."""
+    uncapped n_a / n_b) matches the exact path and the DuckDB oracle.
+
+    `shingles` optionally injects a precomputed (doc_id, shingle)
+    index for the VERIFY path (r5 verdict #7: a parquet-materialized
+    relation shared with dedup_ngram_jaccard computes the shingle
+    explode + df-cap shuffle once instead of per-query); pass the
+    already-capped relation with max_shingle_docs=None, or the raw
+    index to have it capped here. Signature minhashing always shingles
+    inline (a narrow codegen'd explode — the r5 persist A/B showed
+    caching it costs more than recomputing it)."""
     keys = lsh_band_keys(minhash_signatures(documents))
     if max_bucket_size is not None:
         keys = cap_hot_buckets(
@@ -305,7 +315,7 @@ def dedup_minhash_lsh(
         )
         .distinct()
     )
-    sh = doc_shingles(documents)
+    sh = shingles if shingles is not None else doc_shingles(documents)
     if max_shingle_docs is not None:
         sh = df_capped_shingles(sh, max_shingle_docs, broadcast_dropped)
     cand_docs = (
