@@ -383,37 +383,54 @@ def run_skew_ab(sf_dir: str, cpus: str) -> dict:
 
     from renet2_spark.operators.skew import salted_collect_set
 
+    # materialize through a CHECKSUM of every output column — a bare
+    # .count() lets Catalyst prune the aggregate VALUES (count(*) /
+    # countDistinct / collect_set all dropped, every variant collapsing
+    # to the same distinct-keys count: first measured exactly that)
+    def _sink(df, *cols):
+        h = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+        # pmod keeps the sum well inside long range (ANSI overflow)
+        return df.select(
+            F.sum(F.pmod(h, F.lit(1_000_000_007)))
+        ).collect()[0][0]
+
     def count_unsalted():
-        return (
-            mentions.groupBy("type", "entity_id")
-            .agg(
+        return _sink(
+            mentions.groupBy("type", "entity_id").agg(
                 F.count("*").cast("long").alias("n_mentions"),
                 F.countDistinct("doc_id").cast("long").alias("n_docs"),
-            )
-            .count()
+            ),
+            "type", "entity_id", "n_mentions", "n_docs",
         )
 
     def count_salted():
-        return salted_count(
-            mentions, keys=["type", "entity_id"], doc_col="doc_id",
-            salt_buckets=16,
-        ).count()
+        return _sink(
+            salted_count(
+                mentions, keys=["type", "entity_id"], doc_col="doc_id",
+                salt_buckets=16,
+            ),
+            "type", "entity_id", "n_mentions", "n_docs",
+        )
 
     # the HOLISTIC shape: per-entity distinct doc set as a value
     # (collect_set partials stay large — the case the skew module's
     # docstring claims salting for)
     def set_unsalted():
-        return (
-            mentions.groupBy("type", "entity_id")
-            .agg(F.size(F.collect_set("doc_id")).alias("n"))
-            .count()
+        return _sink(
+            mentions.groupBy("type", "entity_id").agg(
+                F.array_sort(F.collect_set("doc_id")).alias("values")
+            ),
+            "type", "entity_id", "values",
         )
 
     def set_salted():
-        return salted_collect_set(
-            mentions, keys=["type", "entity_id"], value_col="doc_id",
-            salt_buckets=16,
-        ).count()
+        return _sink(
+            salted_collect_set(
+                mentions, keys=["type", "entity_id"], value_col="doc_id",
+                salt_buckets=16,
+            ),
+            "type", "entity_id", "values",
+        )
 
     variants = [
         ("count_unsalted", count_unsalted),
@@ -503,9 +520,16 @@ def run_skew_ab(sf_dir: str, cpus: str) -> dict:
         out[name] = {
             "all_runs_sec": [r[1] for r in runs],
             "best_sec": best[1],
-            "n_groups": best[2],
+            "checksum": best[2],
             "reduce_tasks": window_stats(best[0], best[1]),
         }
+    # salted and unsalted must be semantically identical per shape
+    out["count_checksums_equal"] = (
+        out["count_unsalted"]["checksum"] == out["count_salted"]["checksum"]
+    )
+    out["set_checksums_equal"] = (
+        out["set_unsalted"]["checksum"] == out["set_salted"]["checksum"]
+    )
     return out
 
 

@@ -3,15 +3,32 @@
 The reference is single-node and has no skew story (SURVEY §4). At
 cluster scale, entity-keyed aggregations are dominated by hot entities
 (our fixture: gene 'join' occurs in ~96% of documents; real-world:
-TP53 / 'Neoplasms' D009369). The north_rule requires explicit salted
-repartitioning.
+TP53 / 'Neoplasms' D009369). The north_rule requires skew handled
+EXPLICITLY.
 
 Pattern: stage 1 aggregates on (key, salt) where salt = a uniform
 function of an orthogonal column (doc_id), spreading one hot key over
 `salt_buckets` reducers; stage 2 re-aggregates the (at most
-`salt_buckets` x |keys|) partials — tiny. Spark's map-side partial
-aggregation already helps for algebraic aggs; salting also covers
-holistic aggs (collect_set/countDistinct) where partials stay large.
+`salt_buckets` x |keys|) partials — tiny.
+
+WHEN TO SALT — measured guidance (bench.py --skew at 640k docs, hot
+disease in 52% of them; BENCH.md round 6):
+
+* count(*) / countDistinct(doc): DON'T. Spark's own
+  planAggregateWithOneDistinct hashes its first exchange on
+  (key, doc) — the hot key is already spread over the doc space, and
+  map-side partial aggregation collapses the plain-count side. The
+  unsalted plan measured balanced (reduce-task max/p50 records
+  99k/98k) and 40% FASTER than salted_count, whose extra exchange
+  buys a spread the rewrite already provides. build_nodes uses the
+  plain plan for exactly this reason.
+* holistic aggs whose VALUES are materialized (collect_set /
+  collect_list of a high-cardinality column under a hot key): salting
+  splits stage-1 reducer input 16-way, but note stage 2 still merges
+  the hot key's full value set in one task — at true hot-set sizes
+  the right fix is to keep the (key, value) relation relational (what
+  the KG plan does), cap the set, or use a sketch; salted_collect_set
+  is the middle ground when exact bounded sets are required.
 """
 
 from __future__ import annotations

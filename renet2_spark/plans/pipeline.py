@@ -216,17 +216,25 @@ def build_edges(
 def build_nodes(
     spark: SparkSession, documents: DataFrame, corpus: str = "auto"
 ) -> DataFrame:
-    """Entity node table with corpus-wide stats. Entity-keyed — uses a
-    salted two-phase aggregation so the hot-gene key can't produce a
-    straggler reducer (operators/skew.py)."""
-    from ..operators.skew import salted_count
-
+    """Entity node table with corpus-wide stats. Entity-keyed with a
+    hot-key skew story, handled EXPLICITLY by plan choice (bench.py
+    --skew, BENCH.md round 6): Spark plans count(*) + countDistinct
+    via planAggregateWithOneDistinct, whose FIRST exchange hashes on
+    (type, entity_id, doc_id) — the hot entity's rows spread over the
+    whole doc space, so no reducer ever owns a hot key's full doc set.
+    Measured at 640k docs with one disease in 52% of them: this plan
+    is balanced (max/p50 reduce-task records 99k/98k, time ratio 1.4)
+    and 40% faster than the salted two-phase variant
+    (skew.salted_count), which pays an extra exchange for a spread the
+    rewrite already provides. salted_count remains the right tool for
+    aggregations Spark does NOT auto-spread (see operators/skew.py)."""
     mentions = build_mentions(spark, documents, corpus=corpus)
-    return salted_count(
-        mentions,
-        keys=["type", "entity_id"],
-        doc_col="doc_id",
-        salt_buckets=16,
+    return (
+        mentions.groupBy("type", "entity_id")
+        .agg(
+            F.count("*").cast("long").alias("n_mentions"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
     )
 
 
