@@ -156,3 +156,24 @@ def test_fused_dict_equals_runtime_fusion(spark):
     assert a == b and len(a) > 0
     # the joint surface actually fused
     assert any(t[4] == "Gene-Disease" for t in a)
+
+
+def test_ingest_parallelism_floor_semantics(spark):
+    """The floor repartitions a low-split scan up to defaultParallelism
+    but is a NO-OP (same plan object, no exchange) once the input
+    already has at least half the cluster's parallelism — the
+    production multi-split case. Row content identical either way."""
+    from renet2_spark.corpus import ingest_parallelism_floor, load_documents
+
+    docs = load_documents(spark, SF_SMOKE)
+    assert docs.rdd.getNumPartitions() == 1
+    target = spark.sparkContext.defaultParallelism
+    floored = ingest_parallelism_floor(docs, spark)
+    assert floored.rdd.getNumPartitions() == target
+    # identical rows (hash-partitioned by doc_id, nothing lost/duped)
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, floored.collect()))
+    assert a == b
+    # already-parallel input: returned UNCHANGED (no inserted shuffle)
+    wide = docs.repartition(target, "doc_id")
+    assert ingest_parallelism_floor(wide, spark) is wide
