@@ -48,10 +48,20 @@ def run_benchmark(sf_dir: str, cpus: str) -> dict:
     from renet2_spark.functions import textstats as _ts
     from renet2_spark.session import get_spark
 
+    # shuffle/spill on /dev/shm like the scaling runner: the sandbox's
+    # /tmp disk throttles intermittently (identical writes vary
+    # 3s..69s — see run_flagship_once), and the shuffle-heaviest
+    # headline query (dedup_minhash_lsh) measured 5.4s..35.5s across
+    # otherwise-identical windows with the default /tmp local dir.
+    # A production cluster provisions local SSD/NVMe for this.
+    os.makedirs("/dev/shm/spark-local", exist_ok=True)
     spark = get_spark(
         app_name="renet2_spark_bench",
         master=f"local[{cpus}]",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.local.dir": "/dev/shm/spark-local",
+        },
     )
     qs = dict(entry_mod.queries())
     # the r5 driver contract folded text_stats/fingerprint into the
