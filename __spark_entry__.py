@@ -87,6 +87,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest_parallelism_floor(load_documents(spark, sf_dir), spark)
 
 
+def _docs_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # flagship-chain queries (build_edges/build_nodes) shuffle within
+    # a few narrow ops of the scan — the floor's extra exchange only
+    # costs there (interleaved sf0.1 A/B, scripts/ab_flagship_floor.py:
+    # kg_edges +32%, kg_nodes +17%, kg_edges_incremental +31% with the
+    # floor), matching pipeline.run's own plain scan
+    return load_documents(spark, sf_dir)
+
+
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = derive_spans(_docs(spark, sf_dir))
     return canonicalize_mentions(
@@ -466,7 +475,9 @@ def q_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver testdata is the packed contract by construction -> skip
     # the auto probe job (the probe itself is exercised by
     # kg_edges_rawtext's raw routing and tests/test_rawtext.py)
-    return pipeline.build_edges(spark, _docs(spark, sf_dir), corpus="packed")
+    return pipeline.build_edges(
+        spark, _docs_plain(spark, sf_dir), corpus="packed"
+    )
 
 
 def q_edges_rawtext(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,7 +511,9 @@ def q_edges_rawtext(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pipeline.build_nodes(spark, _docs(spark, sf_dir), corpus="packed")
+    return pipeline.build_nodes(
+        spark, _docs_plain(spark, sf_dir), corpus="packed"
+    )
 
 
 def q_edges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,7 +531,7 @@ def q_edges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="kg_inc_")
     store = CheckpointStore(spark, root)
     return run_incremental(
-        spark, _docs(spark, sf_dir), store, buckets=8, corpus="packed"
+        spark, _docs_plain(spark, sf_dir), store, buckets=8, corpus="packed"
     )
 
 
@@ -533,7 +546,9 @@ def q_nodes_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renet2_spark.sources.tables import read_table, write_table
 
     path = tempfile.mkdtemp(prefix="kg_nodes_tbl_") + "/nodes"
-    nodes = pipeline.build_nodes(spark, _docs(spark, sf_dir), corpus="packed")
+    nodes = pipeline.build_nodes(
+        spark, _docs_plain(spark, sf_dir), corpus="packed"
+    )
     write_table(nodes, path, partition_by=["type"])
     return read_table(spark, path)
 
