@@ -680,6 +680,34 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.pii_scrub(injected)
 
 
+def q_corpus_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-weighted TF-IDF top-3 keywords per document. The corpus
+    is a 31-word salad where every word's df ~= n_docs (idf ~= 0), so
+    deterministic rare/unique terms are injected to make the corpus
+    statistic observable (the kg_tokens_rnn / text_pii
+    make-the-rule-observable pattern): docs with doc_id%3==0 gain one
+    of 13 'termN' words (mid-frequency df), docs with doc_id%11==0
+    gain a 'uniq<doc_id>' word (df=1 — must rank first for its doc).
+    The driver hash pins tf, doc length, df, the rounded tfidf value
+    and the rank cut."""
+    did = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            F.pmod(did, 3) == 0,
+            F.concat(F.lit(" term"), F.pmod(did, 13).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(did, 11) == 0,
+            F.concat(F.lit(" uniq"), did.cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    injected = _docs(spark, sf_dir).select(
+        did.alias("doc_id"), txt.alias("text")
+    )
+    return ts.tfidf_topk(injected, k=3)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -733,8 +761,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the NumPy-oracle golden test additionally enforces the
         # reference P/R >= 0.95 metric
         "kg_edges_neural": q_edges_neural,
-        # deterministic neural ENCODE stage digest — exact frozen oracle
-        "kg_pair_tensors_digest": q_pair_tensors_digest,
+        # corpus-weighted TF-IDF top-k keywords (df/idf — the
+        # corpus-level statistic class; took the slot of
+        # kg_pair_tensors_digest, whose encode digest is strictly
+        # subsumed by kg_edges_neural's exact row-level oracle and now
+        # runs in tests/test_library_oracle_parity.py)
+        "corpus_tfidf": q_corpus_tfidf,
         # cross-document repeated-substring spans (run-length merge of
         # repeated positioned n-grams — r5 verdict next #2, promoted
         # from SQL-mirror pytest into the driver contract)
@@ -849,7 +881,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": oracles.q_ann_topk_ivf(),
         # frozen independent-recompute digest of the neural encode
         # stage; scale-adaptive (fingerprint probe, r5 verdict #4)
-        "kg_pair_tensors_digest": oracles.q_pair_tensors_digest(),
+        "corpus_tfidf": oracles.q_corpus_tfidf(k=3),
         # LSH queries have EXACT oracles: the hyperplanes are
         # deterministic literals both engines share
         "dedup_embedding_lsh": oracles.q_dedup_embedding_lsh(),

@@ -228,6 +228,75 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_topk(
+    documents: DataFrame, k: int = 3, broadcast_df: bool = True
+) -> DataFrame:
+    """(doc_id, word, tf, n_tokens, df, tfidf, rnk) — per-document
+    top-k keywords by corpus-weighted TF-IDF: tfidf = (tf / n_tokens)
+    * ln(n_docs / df), ranked per doc (ties broken by word) and cut at
+    rank k. The corpus-level statistic class (document frequency /
+    inverse document frequency) the rest of the text-analysis surface
+    — deliberately row-local — cannot express.
+
+    100 TB shape: ONE whitespace explode feeds ONE (doc_id, word)
+    partial-aggregated count; doc lengths and document frequencies
+    both derive from that relation (no second scan of the corpus).
+    The df table is vocabulary-sized — tiny relative to the corpus —
+    and joins back broadcast by default; pass broadcast_df=False for
+    open-vocabulary corpora whose vocab outgrows broadcast limits and
+    let AQE pick the strategy. The final ranking windows per doc_id
+    (skew-free: a document bounds its own vocabulary). tfidf is
+    rounded to 6 decimals BEFORE ranking so rank order is robust to
+    last-ulp ln() differences across engines."""
+    words = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("n_tokens"))
+    df_tbl = tf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
+    if broadcast_df:
+        df_tbl = F.broadcast(df_tbl)
+    n_docs = F.broadcast(
+        documents.agg(
+            F.countDistinct(F.col("doc_id").cast("string")).alias("n_docs")
+        )
+    )
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(df_tbl, "word")
+        .crossJoin(n_docs)
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("tf").cast("double") / F.col("n_tokens"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id",
+            "word",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("df").cast("int").alias("df"),
+            "tfidf",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def text_profile(documents: DataFrame, rep_n: int = 3) -> DataFrame:
     """The FULL per-document text-analysis profile as ONE row-local
     projection — the composite the consolidated driver query

@@ -1814,6 +1814,51 @@ FROM base JOIN sig USING (doc_id)
 """
 
 
+def q_corpus_tfidf(k: int = 3) -> str:
+    """Rare/unique-term injection + per-doc TF-IDF top-k — mirrors
+    __spark_entry__.q_corpus_tfidf over functions.textstats.tfidf_topk.
+    tfidf is rounded to 6 decimals BEFORE the rank so ordering is
+    robust to last-ulp ln() differences between DuckDB and the JVM."""
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         "text"
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' term' || CAST(doc_id % 13 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' uniq' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END AS t
+  FROM documents
+),
+w AS (SELECT doc_id, unnest(str_split(t, ' ')) AS word FROM base),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+dl AS (SELECT doc_id, SUM(tf) AS n_tokens FROM tf GROUP BY doc_id),
+dfx AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM base),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf, dl.n_tokens, dfx.df,
+         ROUND((CAST(tf.tf AS DOUBLE) / dl.n_tokens)
+               * LN(CAST(nd.n_docs AS DOUBLE) / dfx.df), 6) AS tfidf
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN dfx USING (word)
+  CROSS JOIN nd
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, word ASC
+         ) AS rnk
+  FROM scored
+)
+SELECT doc_id, word, CAST(tf AS INT) AS tf,
+       CAST(n_tokens AS INT) AS n_tokens, CAST(df AS INT) AS df,
+       tfidf, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {k}
+"""
+
+
 def q_text_pii() -> str:
     """PII injection + scrub — mirrors __spark_entry__.q_text_pii over
     functions.textstats.pii_scrub. The regex patterns are the common

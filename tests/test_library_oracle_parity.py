@@ -120,7 +120,22 @@ def _rel(name):
     return lambda spark: getattr(rel, name)(spark, SF_SMOKE)
 
 
+def q_pair_tensors_digest(spark):
+    """Retired from the driver contract in round 6 (its encode digest
+    is strictly subsumed by kg_edges_neural's exact row-level golden
+    oracle; the slot went to corpus_tfidf) — kept here so an
+    encode-stage regression is still localized to this digest rather
+    than surfacing only as a flagship golden mismatch."""
+    import __spark_entry__ as entry_mod
+
+    return entry_mod.q_pair_tensors_digest(spark, SF_SMOKE)
+
+
 CASES = {
+    "kg_pair_tensors_digest": (
+        q_pair_tensors_digest,
+        oracles.q_pair_tensors_digest,
+    ),
     "text_stats": (q_text_stats, oracles.q_text_stats),
     "lang_id": (q_lang_id, oracles.q_lang_id),
     "token_counts": (q_token_counts, oracles.q_token_counts),

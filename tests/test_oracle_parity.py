@@ -12,9 +12,10 @@ ORACLES = entry_mod.oracle_sql()
 
 # oracles whose literals are constants of the sf0.01 corpus (the
 # driver's correctness scale) — checked at sf0.01 below, not sf0.001.
-# kg_pair_tensors_digest / kg_edges_neural select frozen literals by
-# the corpus-fingerprint probe and carry rows for BOTH scales, so they
-# run in the regular sf0.001 set above.
+# kg_edges_neural selects frozen literals by the corpus-fingerprint
+# probe and carries rows for BOTH scales, so it runs in the regular
+# sf0.001 set above (as does the retired kg_pair_tensors_digest, now
+# in test_library_oracle_parity.py).
 SF001_ONLY = {
     "ann_topk_ivf",
 }

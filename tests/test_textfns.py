@@ -241,3 +241,58 @@ def test_pii_scrub_masks_and_counts(spark):
     assert got["2"]["text_masked"] == "server [IP] talks to [IP] daily"
     assert got["3"]["text_masked"] == "no personal data in this sentence at all"
     assert (got["3"]["n_emails"], got["3"]["n_phones"], got["3"]["n_ips"]) == (0, 0, 0)
+
+
+def test_tfidf_topk_ranks_rare_words_first(spark):
+    """TF-IDF: a word unique to one doc outranks corpus-wide words for
+    that doc; a word present in EVERY doc has idf=0 (tfidf exactly
+    0.0); ranking ties break by word ascending; the rank cut keeps
+    exactly k rows per doc with enough vocabulary."""
+    import math
+
+    from renet2_spark.functions.textstats import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            ("1", "alpha beta beta zzyzx"),
+            ("2", "alpha beta gamma gamma"),
+            ("3", "alpha delta delta delta"),
+        ],
+        "doc_id string, text string",
+    )
+    rows = tfidf_topk(docs, k=2).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) == 2 for v in by_doc.values())
+    # doc 1: zzyzx (df=1, tf=1/4) beats beta (df=2, tf=2/4)
+    top1 = by_doc["1"][0] if by_doc["1"][0]["rnk"] == 1 else by_doc["1"][1]
+    assert top1["word"] == "zzyzx"
+    assert top1["tfidf"] == round((1 / 4) * math.log(3 / 1), 6)
+    assert (top1["tf"], top1["n_tokens"], top1["df"]) == (1, 4, 1)
+    # alpha appears in all 3 docs -> idf = ln(1) = 0 -> outranked
+    # wherever the doc has >= 2 nonzero-idf words (docs 1 and 2)
+    assert all(
+        r["word"] != "alpha" for r in rows if r["doc_id"] in ("1", "2")
+    )
+    # doc 3: delta (tf=3/4, df=1) first, then... only delta and alpha
+    # have candidates; alpha's tfidf is 0.0 but still rankable at rnk 2
+    d3 = sorted(by_doc["3"], key=lambda r: r["rnk"])
+    assert d3[0]["word"] == "delta"
+    assert d3[1]["word"] == "alpha" and d3[1]["tfidf"] == 0.0
+
+
+def test_tfidf_topk_broadcast_fallback_identical(spark):
+    """broadcast_df=False (open-vocabulary fallback) returns the exact
+    same rows as the broadcast default."""
+    from renet2_spark.functions.textstats import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [("1", "a b c a"), ("2", "b c d"), ("3", "c d e e")],
+        "doc_id string, text string",
+    )
+    a = sorted(map(tuple, tfidf_topk(docs, k=3).collect()))
+    b = sorted(
+        map(tuple, tfidf_topk(docs, k=3, broadcast_df=False).collect())
+    )
+    assert a == b
