@@ -575,41 +575,84 @@ def pair_tensor_digests(
 
 def neural_score_pairs(
     pairs: DataFrame, sentences: DataFrame, mentions: DataFrame,
-    max_sents: int = MAX_SENTS,
+    max_sents: int = MAX_SENTS, per_doc: bool = True,
 ) -> DataFrame:
     """pairs (doc_id, gene_id, disease_id, ...) -> + probs
     array<double> of the 10-model ensemble; plugs into
     scorer.ensemble_vote unchanged. max_sents = 32 (abstract mode,
-    default) or MAX_SENTS_FT=400 (full-text mode)."""
+    default) or MAX_SENTS_FT=400 (full-text mode).
+
+    per_doc=True (default, r6): pairs are grouped per document BEFORE
+    the tensor join, so each doc's (tok_ids, ments) payload crosses
+    the join, the shuffle, and the Arrow boundary ONCE instead of
+    once per pair (~10.7 pairs/doc on the driver corpus — the
+    per-pair layout moved ~10x the bytes; measured A/B in BENCH.md
+    round 6). The python side re-expands pairs against the executor-
+    local doc cache; scores are bitwise identical because score_batch
+    evaluates every pair at its own doc shape regardless of batch
+    composition (test_forward_all_bitwise_batch_invariance).
+    per_doc=False keeps the per-pair layout for A/B measurement."""
     tensors = doc_tensors(sentences, mentions)
-    # repartition before the UDF: the pair rows are tiny in BYTES so
+    # repartition before the UDF: the rows are few/tiny in BYTES so
     # AQE coalesces them to ~1 partition, but scoring is heavy in CPU
     # per row — without this, one python worker scores everything
     # (measured 24s -> ~2s at sf0.1 on 32 cores)
     spark = pairs.sparkSession
-    joined = pairs.join(tensors, "doc_id").repartition(
-        spark.sparkContext.defaultParallelism * 2
-    )
-    in_schema = joined.schema
+    nparts = spark.sparkContext.defaultParallelism * 2
     out_schema = T.StructType(
-        [f for f in in_schema.fields if f.name not in ("tok_ids", "ments")]
+        list(pairs.schema.fields)
         + [T.StructField("probs", T.ArrayType(T.DoubleType()))]
     )
+
+    if not per_doc:
+        joined = pairs.join(tensors, "doc_id").repartition(nparts)
+
+        def run_flat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                probs = score_batch(pdf.reset_index(drop=True), max_sents)
+                out = pdf.drop(columns=["tok_ids", "ments"]).copy()
+                out["probs"] = [list(map(float, row)) for row in probs]
+                yield out
+
+        return joined.mapInPandas(run_flat, schema=out_schema)
+
+    pair_cols = [c for c in pairs.columns if c != "doc_id"]
+    grouped = pairs.groupBy("doc_id").agg(
+        F.collect_list(F.struct(*pair_cols)).alias("_pairs")
+    )
+    joined = grouped.join(tensors, "doc_id").repartition(nparts)
+    out_cols = [f.name for f in out_schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            cols: dict = {c: [] for c in ("doc_id", "tok_ids", "ments")}
+            for c in pair_cols:
+                cols[c] = []
+            for doc_id, t, m, plist in zip(
+                pdf["doc_id"], pdf["tok_ids"], pdf["ments"], pdf["_pairs"]
+            ):
+                for p in plist:
+                    cols["doc_id"].append(doc_id)
+                    cols["tok_ids"].append(t)
+                    cols["ments"].append(m)
+                    for c in pair_cols:
+                        cols[c].append(p[c])
+            if not cols["doc_id"]:
+                continue
+            flat = pd.DataFrame(cols)
             # score_batch groups rows by per-doc tensor shape
-            # internally (r6 — formerly done here, r5): canonical
-            # own-shape evaluation removes both the padding waste
-            # (one 10-sentence doc in a mixed batch would inflate
-            # every 2-sentence doc's forward 5x; measured ~30% off
-            # this query, BENCH.md round 5) and any dependence of the
-            # scores on how Arrow composed the batch.
-            probs = score_batch(pdf.reset_index(drop=True), max_sents)
-            out = pdf.drop(columns=["tok_ids", "ments"]).copy()
+            # internally (r6): canonical own-shape evaluation removes
+            # both the padding waste (one 10-sentence doc in a mixed
+            # batch would inflate every 2-sentence doc's forward 5x;
+            # measured ~30% off this query, BENCH.md round 5) and any
+            # dependence of the scores on batch composition.
+            probs = score_batch(flat, max_sents)
+            out = flat.drop(columns=["tok_ids", "ments"])
             out["probs"] = [list(map(float, row)) for row in probs]
-            yield out
+            yield out[out_cols]
 
     return joined.mapInPandas(run, schema=out_schema)
