@@ -688,8 +688,11 @@ def q_corpus_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     make-the-rule-observable pattern): docs with doc_id%3==0 gain one
     of 13 'termN' words (mid-frequency df), docs with doc_id%11==0
     gain a 'uniq<doc_id>' word (df=1 — must rank first for its doc).
-    The driver hash pins tf, doc length, df, the rounded tfidf value
-    and the rank cut."""
+    The doc-level mean unigram surprisal under the corpus's own LM
+    (functions.textstats.unigram_surprisal — decimal-summed, so the
+    float aggregate is order/engine independent) rides on every
+    keyword row. The driver hash pins tf, doc length, df, the rounded
+    tfidf value, the rank cut, and the surprisal."""
     did = F.col("doc_id")
     txt = F.concat(
         F.col("text"),
@@ -705,7 +708,10 @@ def q_corpus_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     injected = _docs(spark, sf_dir).select(
         did.alias("doc_id"), txt.alias("text")
     )
-    return ts.tfidf_topk(injected, k=3)
+    return ts.tfidf_topk(injected, k=3).join(
+        ts.unigram_surprisal(injected).select("doc_id", "surprisal"),
+        "doc_id",
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:

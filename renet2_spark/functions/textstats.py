@@ -297,6 +297,60 @@ def tfidf_topk(
     )
 
 
+def unigram_surprisal(
+    documents: DataFrame, broadcast_lm: bool = True
+) -> DataFrame:
+    """(doc_id, n_tokens, surprisal) — per-document mean unigram
+    surprisal under the corpus's own unigram language model:
+    surprisal(doc) = sum_w tf_w * -ln(cnt_w / total) / n_tokens,
+    the CCNet-style LM quality signal (high = improbable under the
+    corpus model: rare words, noise, other languages; low =
+    boilerplate-like). Fits corpus curation as a filter signal the
+    row-local quality_score cannot express — it needs the corpus.
+
+    100 TB shape: the SAME one-explode / one (doc,word) partial-agg
+    relation as tfidf_topk; the unigram table is vocabulary-sized and
+    broadcast by default (broadcast_lm=False lets AQE pick for open
+    vocabularies); the final per-doc agg shuffles on doc_id
+    (skew-free). Per-word terms are rounded to 6 decimals and summed
+    as DECIMAL(28,6) — exact integer arithmetic, so the sum is
+    independent of both task order and engine, which is what makes an
+    exact cross-engine oracle possible for a float aggregate."""
+    words = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    lm = tf.groupBy("word").agg(F.sum("tf").alias("cnt"))
+    if broadcast_lm:
+        lm = F.broadcast(lm)
+    total = F.broadcast(tf.agg(F.sum("tf").alias("total")))
+    term = F.round(
+        F.col("tf").cast("double")
+        * -F.log(F.col("cnt").cast("double") / F.col("total")),
+        6,
+    ).cast("decimal(28,6)")
+    per_doc = (
+        tf.join(lm, "word")
+        .crossJoin(total)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_toks"),
+            F.sum(term).alias("s_dec"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_toks").cast("int").alias("n_tokens"),
+        F.round(
+            F.col("s_dec").cast("double") / F.col("n_toks").cast("double"),
+            6,
+        ).alias("surprisal"),
+    )
+
+
 def text_profile(documents: DataFrame, rep_n: int = 3) -> DataFrame:
     """The FULL per-document text-analysis profile as ONE row-local
     projection — the composite the consolidated driver query

@@ -1815,10 +1815,13 @@ FROM base JOIN sig USING (doc_id)
 
 
 def q_corpus_tfidf(k: int = 3) -> str:
-    """Rare/unique-term injection + per-doc TF-IDF top-k — mirrors
-    __spark_entry__.q_corpus_tfidf over functions.textstats.tfidf_topk.
-    tfidf is rounded to 6 decimals BEFORE the rank so ordering is
-    robust to last-ulp ln() differences between DuckDB and the JVM."""
+    """Rare/unique-term injection + per-doc TF-IDF top-k + mean
+    unigram surprisal — mirrors __spark_entry__.q_corpus_tfidf over
+    functions.textstats.tfidf_topk / unigram_surprisal. tfidf is
+    rounded to 6 decimals BEFORE the rank so ordering is robust to
+    last-ulp ln() differences between DuckDB and the JVM; the
+    surprisal per-word terms are rounded then summed as DECIMAL —
+    exact arithmetic, order/engine independent."""
     return f"""
 WITH base AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -1851,11 +1854,28 @@ ranked AS (
            PARTITION BY doc_id ORDER BY tfidf DESC, word ASC
          ) AS rnk
   FROM scored
+),
+lm AS (SELECT word, SUM(tf) AS cnt FROM tf GROUP BY word),
+tot AS (SELECT SUM(tf) AS total FROM tf),
+sup AS (
+  SELECT tf.doc_id,
+         SUM(tf.tf) AS n_toks,
+         SUM(CAST(ROUND(CAST(tf.tf AS DOUBLE)
+                        * -LN(CAST(lm.cnt AS DOUBLE) / tot.total), 6)
+                  AS DECIMAL(28,6))) AS s_dec
+  FROM tf JOIN lm USING (word) CROSS JOIN tot
+  GROUP BY tf.doc_id
+),
+surp AS (
+  SELECT doc_id,
+         ROUND(CAST(s_dec AS DOUBLE) / CAST(n_toks AS DOUBLE), 6)
+           AS surprisal
+  FROM sup
 )
-SELECT doc_id, word, CAST(tf AS INT) AS tf,
-       CAST(n_tokens AS INT) AS n_tokens, CAST(df AS INT) AS df,
-       tfidf, CAST(rnk AS INT) AS rnk
-FROM ranked WHERE rnk <= {k}
+SELECT r.doc_id, r.word, CAST(r.tf AS INT) AS tf,
+       CAST(r.n_tokens AS INT) AS n_tokens, CAST(r.df AS INT) AS df,
+       r.tfidf, CAST(r.rnk AS INT) AS rnk, surp.surprisal
+FROM ranked r JOIN surp USING (doc_id) WHERE r.rnk <= {k}
 """
 
 

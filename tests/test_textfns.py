@@ -296,3 +296,34 @@ def test_tfidf_topk_broadcast_fallback_identical(spark):
         map(tuple, tfidf_topk(docs, k=3, broadcast_df=False).collect())
     )
     assert a == b
+
+
+def test_unigram_surprisal_corpus_model(spark):
+    """Mean unigram surprisal under the corpus's own LM: a doc made of
+    corpus-common words scores LOWER than one containing a hapax; the
+    value matches the hand-computed decimal-summed definition."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import math
+
+    from renet2_spark.functions.textstats import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [("1", "the the cat"), ("2", "the zzyzx cat")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_surprisal(docs).collect()}
+    # corpus counts: the=3, cat=2, zzyzx=1; total=6
+    def term(tf, cnt):
+        v = tf * -math.log(cnt / 6)
+        return Decimal(repr(round(v, 6)))
+
+    s1 = (term(2, 3) + term(1, 2)) / 3
+    s2 = (term(1, 3) + term(1, 1) + term(1, 2)) / 3
+    q = lambda d: float(
+        Decimal(d).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+    assert got["1"]["surprisal"] == q(s1)
+    assert got["2"]["surprisal"] == q(s2)
+    assert got["2"]["surprisal"] > got["1"]["surprisal"]
+    assert (got["1"]["n_tokens"], got["2"]["n_tokens"]) == (3, 3)
