@@ -1879,6 +1879,24 @@ FROM ranked r JOIN surp USING (doc_id) WHERE r.rnk <= {k}
 """
 
 
+def q_events_asof() -> str:
+    """As-of join parity: each click event gains its user's most
+    recent prior-or-equal view event — DuckDB's NATIVE ASOF LEFT JOIN
+    is the oracle for operators/asof.asof_join's union+window
+    formulation."""
+    return """
+WITH clicks AS (SELECT event_id, ts, user_id, value FROM events
+                WHERE event_type = 'click'),
+views  AS (SELECT event_id, ts, user_id, value FROM events
+           WHERE event_type = 'view')
+SELECT c.event_id, c.ts, c.user_id, c.value,
+       v.event_id AS r_event_id, v.ts AS r_ts, v.user_id AS r_user_id,
+       v.value AS r_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
 def q_text_pii() -> str:
     """PII injection + scrub — mirrors __spark_entry__.q_text_pii over
     functions.textstats.pii_scrub. The regex patterns are the common

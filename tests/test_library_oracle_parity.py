@@ -131,7 +131,25 @@ def q_pair_tensors_digest(spark):
     return entry_mod.q_pair_tensors_digest(spark, SF_SMOKE)
 
 
+def q_events_asof(spark):
+    """As-of join (operators/asof) vs DuckDB's NATIVE ASOF LEFT JOIN —
+    each click gains the user's most recent prior-or-equal view."""
+    from pyspark.sql import functions as F
+
+    from renet2_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    return asof_join(clicks, views, on="ts", by=("user_id",))
+
+
 CASES = {
+    "events_asof": (q_events_asof, oracles.q_events_asof),
     "kg_pair_tensors_digest": (
         q_pair_tensors_digest,
         oracles.q_pair_tensors_digest,
