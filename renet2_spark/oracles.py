@@ -1897,6 +1897,27 @@ FROM clicks c ASOF LEFT JOIN views v
 """
 
 
+def q_events_range() -> str:
+    """Range (interval-overlap) join parity: 6h view windows x +-1h
+    error windows per user — DuckDB's range-predicate join is the
+    oracle for operators/rangejoin.range_join's binned equi-join."""
+    return """
+WITH w AS (SELECT event_id, user_id,
+                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS st,
+                  CAST(FLOOR(epoch(ts)) AS BIGINT) + 21600 AS en
+           FROM events WHERE event_type = 'view'),
+e AS (SELECT event_id, user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) - 3600 AS st,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) + 3600 AS en
+      FROM events WHERE event_type = 'error')
+SELECT w.event_id, w.user_id, w.st, w.en,
+       e.event_id AS r_event_id, e.user_id AS r_user_id,
+       e.st AS r_st, e.en AS r_en
+FROM w JOIN e
+  ON w.user_id = e.user_id AND w.st < e.en AND e.st < w.en
+"""
+
+
 def q_text_pii() -> str:
     """PII injection + scrub — mirrors __spark_entry__.q_text_pii over
     functions.textstats.pii_scrub. The regex patterns are the common

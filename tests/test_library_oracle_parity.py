@@ -148,8 +148,34 @@ def q_events_asof(spark):
     return asof_join(clicks, views, on="ts", by=("user_id",))
 
 
+def q_events_range(spark):
+    """Range join (operators/rangejoin) vs DuckDB's range-predicate
+    join: 6h view windows x +-1h error windows per user. bin_width
+    deliberately SMALLER than the intervals so every pair spans
+    several shared bins — the first-shared-bin dedup is exercised."""
+    from pyspark.sql import functions as F
+
+    from renet2_spark.operators.rangejoin import range_join
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    epoch = F.unix_timestamp("ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", epoch.alias("st"),
+        (epoch + 21600).alias("en"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", (epoch - 3600).alias("st"),
+        (epoch + 3600).alias("en"),
+    )
+    return range_join(
+        views, errors, by=("user_id",), left_bounds=("st", "en"),
+        right_bounds=("st", "en"), bin_width=1800,
+    )
+
+
 CASES = {
     "events_asof": (q_events_asof, oracles.q_events_asof),
+    "events_range": (q_events_range, oracles.q_events_range),
     "kg_pair_tensors_digest": (
         q_pair_tensors_digest,
         oracles.q_pair_tensors_digest,

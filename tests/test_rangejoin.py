@@ -1,0 +1,67 @@
+"""Semantics tests for the binned range join (operators/rangejoin):
+half-open overlap, multi-bin dedup, negative bounds, empty intervals,
+key isolation. (Cross-engine parity vs DuckDB's range-predicate join
+runs in test_library_oracle_parity.py::events_range.)"""
+
+from renet2_spark.operators.rangejoin import range_join
+
+LSCHEMA = "lid int, k string, start long, end long"
+RSCHEMA = "rid int, k string, start long, end long"
+
+
+def _pairs(df):
+    return {(r["lid"], r["r_rid"]) for r in df.collect()}
+
+
+def test_range_join_halfopen_and_multibin_dedup(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "a", 0, 1000),    # spans many bins vs r10 -> ONE row
+            (2, "a", 1000, 1100), # touches lid=1's end: no self-rel here
+            (3, "a", 5000, 5010),
+        ],
+        LSCHEMA,
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "a", 500, 1500),  # overlaps 1 (500..1000) and 2
+            (11, "a", 1100, 1200), # adjacent to 2 (end==start): NO match
+            (12, "a", 5009, 6000), # 1-point overlap with 3
+        ],
+        RSCHEMA,
+    )
+    got = _pairs(range_join(left, right, by=("k",), bin_width=100))
+    assert got == {(1, 10), (2, 10), (3, 12)}
+
+
+def test_range_join_multibin_pair_emitted_once(spark):
+    left = spark.createDataFrame([(1, "a", 0, 10_000)], LSCHEMA)
+    right = spark.createDataFrame([(10, "a", 0, 10_000)], RSCHEMA)
+    rows = range_join(left, right, by=("k",), bin_width=7).collect()
+    assert len(rows) == 1  # 1429 shared bins, exactly one output row
+
+
+def test_range_join_negative_bounds_and_keys(spark):
+    left = spark.createDataFrame(
+        [(1, "a", -250, -50), (2, "b", -250, -50)], LSCHEMA
+    )
+    right = spark.createDataFrame(
+        [(10, "a", -100, 0), (11, "a", -1000, -251)], RSCHEMA
+    )
+    got = _pairs(range_join(left, right, by=("k",), bin_width=60))
+    # floor-binning, not cast-truncation: -100..-50 overlap found; the
+    # disjoint r11 and the other key's lid=2 produce nothing
+    assert got == {(1, 10)}
+
+
+def test_range_join_empty_intervals_drop(spark):
+    left = spark.createDataFrame([(1, "a", 5, 5)], LSCHEMA)
+    right = spark.createDataFrame([(10, "a", 0, 100)], RSCHEMA)
+    assert range_join(left, right, by=("k",), bin_width=10).count() == 0
+
+
+def test_range_join_no_by_key(spark):
+    left = spark.createDataFrame([(1, "a", 0, 10)], LSCHEMA)
+    right = spark.createDataFrame([(10, "zzz", 5, 15)], RSCHEMA)
+    got = _pairs(range_join(left, right, bin_width=4))
+    assert got == {(1, 10)}
