@@ -107,3 +107,44 @@ def test_asof_deterministic_tie_break(spark):
             on="ts", by=("k",),
         ).collect()
         assert (got[0]["r_rid"], got[0]["r_v"]) == (21, 2.0)
+
+
+def test_asof_matches_pandas_merge_asof_random(spark):
+    """Seeded randomized anchor: asof_join equals pandas.merge_asof
+    on random per-key event streams (backward, exact matches allowed,
+    unique (key, ts) so the pandas tie semantics cannot diverge)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(20240817)
+    ts_pool = rng.sample(range(1, 100_000), 400)
+    lrows = [
+        (i, datetime(2024, 1, 1) + timedelta(seconds=ts_pool[i]),
+         rng.choice("abc"))
+        for i in range(200)
+    ]
+    rrows = [
+        (i, datetime(2024, 1, 1) + timedelta(seconds=ts_pool[200 + i]),
+         rng.choice("abc"), float(i))
+        for i in range(200)
+    ]
+    got = {
+        r["lid"]: r["r_rid"]
+        for r in asof_join(
+            spark.createDataFrame(lrows, LSCHEMA),
+            spark.createDataFrame(rrows, RSCHEMA),
+            on="ts",
+            by=("k",),
+        ).collect()
+    }
+    lpd = pd.DataFrame(lrows, columns=["lid", "ts", "k"]).sort_values("ts")
+    rpd = pd.DataFrame(
+        rrows, columns=["rid", "ts", "k", "v"]
+    ).sort_values("ts")
+    m = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="backward")
+    expected = {
+        int(row.lid): (None if pd.isna(row.rid) else int(row.rid))
+        for row in m.itertuples()
+    }
+    assert got == expected

@@ -65,3 +65,33 @@ def test_range_join_no_by_key(spark):
     right = spark.createDataFrame([(10, "zzz", 5, 15)], RSCHEMA)
     got = _pairs(range_join(left, right, bin_width=4))
     assert got == {(1, 10)}
+
+
+def test_range_join_matches_bruteforce_random(spark):
+    """Seeded randomized anchor: the binned equi-join equals the naive
+    O(n*m) overlap enumeration on random intervals, across bin widths
+    that are smaller than / comparable to / larger than the spans."""
+    import random
+
+    rng = random.Random(20240817)
+    left = [
+        (i, rng.choice("ab"), s := rng.randint(-500, 500),
+         s + rng.randint(0, 300))
+        for i in range(120)
+    ]
+    right = [
+        (i, rng.choice("ab"), s := rng.randint(-500, 500),
+         s + rng.randint(0, 300))
+        for i in range(120)
+    ]
+    expected = {
+        (l[0], r[0])
+        for l in left
+        for r in right
+        if l[1] == r[1] and l[2] < r[3] and r[2] < l[3]
+    }
+    ldf = spark.createDataFrame(left, LSCHEMA)
+    rdf = spark.createDataFrame(right, RSCHEMA)
+    for w in (7, 100, 1000):
+        got = _pairs(range_join(ldf, rdf, by=("k",), bin_width=w))
+        assert got == expected, f"bin_width={w}"
