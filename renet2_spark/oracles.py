@@ -1918,6 +1918,27 @@ FROM w JOIN e
 """
 
 
+def q_events_sessionize() -> str:
+    """Gap-based sessionization parity (operators/sessionize): 3-day
+    inactivity gap per user over the events table — the identical
+    lag-flag + running-sum window formulation in DuckDB."""
+    return """
+WITH m AS (
+  SELECT event_id, ts, user_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 259200.0
+              THEN 1 ELSE 0 END AS st
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, value)
+)
+SELECT event_id, ts, user_id, value,
+       CAST(SUM(st) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id, value
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+FROM m
+"""
+
+
 def q_text_pii() -> str:
     """PII injection + scrub — mirrors __spark_entry__.q_text_pii over
     functions.textstats.pii_scrub. The regex patterns are the common

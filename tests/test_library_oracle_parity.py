@@ -173,9 +173,21 @@ def q_events_range(spark):
     )
 
 
+def q_events_sessionize(spark):
+    """Gap sessionization (operators/sessionize) vs the identical
+    DuckDB window formulation: 3-day inactivity gap per user."""
+    from renet2_spark.operators.sessionize import sessionize
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    return sessionize(ev, on="ts", by=("user_id",), gap_seconds=259200)
+
+
 CASES = {
     "events_asof": (q_events_asof, oracles.q_events_asof),
     "events_range": (q_events_range, oracles.q_events_range),
+    "events_sessionize": (q_events_sessionize, oracles.q_events_sessionize),
     "kg_pair_tensors_digest": (
         q_pair_tensors_digest,
         oracles.q_pair_tensors_digest,
