@@ -94,6 +94,50 @@ def stream_windowed_mention_counts(
     )
 
 
+def stream_session_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = "event_id bigint, ts timestamp, user_id bigint",
+    gap_minutes: int = 30,
+    watermark_minutes: int = 60,
+) -> None:
+    """Streaming-native gap sessionization: the unbounded-input
+    counterpart of operators/sessionize.sessionize, built on Spark's
+    session_window (merging event-time sessions that close after
+    gap_minutes of per-user inactivity). Append mode emits each
+    session exactly once, when the watermark passes its close; state
+    is bounded by sessions-in-flight. Boundary nuance vs the batch
+    operator: session_window's interval is end-EXCLUSIVE, so an event
+    at exactly last_ts + gap starts a NEW session, while the batch
+    operator keeps an exact-gap event in-session."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    agg = (
+        stream.withWatermark("ts", f"{watermark_minutes} minutes")
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", output_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def stream_dedup_exact(
     spark: SparkSession,
     input_dir: str,
