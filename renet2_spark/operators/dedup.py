@@ -94,6 +94,22 @@ def doc_shingles(documents: DataFrame, n: int = NGRAM) -> DataFrame:
     )
 
 
+def doc_shingle_arrays(documents: DataFrame, n: int = NGRAM) -> DataFrame:
+    """(doc_id, shingles array<string>) — the per-doc distinct shingle
+    ARRAY, un-exploded. The row-local shingle construction (split +
+    per-gram array_join string building) is the single most expensive
+    narrow pass in the dedup family (r7 stage profile: 7-18 task-s per
+    pass at sf0.1), and the jaccard/minhash plans used to run it 3-4
+    times each (signature agg, df-frequency, set sizes, verify probes
+    all rebuilt it from `text`). Persisting THIS relation (one row per
+    doc — far cheaper to cache than the exploded index) lets every
+    consumer derive its view (explode / size()) from one build."""
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _shingle_arr(n).alias("shingles"),
+    )
+
+
 def doc_shingle_counts(documents: DataFrame, n: int = NGRAM) -> DataFrame:
     """(doc_id, n_sh) — per-doc distinct shingle counts, computed
     ROW-LOCALLY (size of the shingle array): no explode, no shuffle.
@@ -211,21 +227,61 @@ def dedup_ngram_jaccard(
     index for `documents` (e.g. a persisted table shared with a
     decontamination stage — r4 verdict #2: the composed curation chain
     used to explode the corpus twice); it must equal
-    doc_shingles(documents, n). Set sizes stay row-local regardless."""
-    sh = shingles if shingles is not None else doc_shingles(documents, n)
-    sizes = doc_shingle_counts(documents, n)
-    if max_shingle_docs is not None:
-        sh = df_capped_shingles(sh, max_shingle_docs, broadcast_dropped)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    doc_shingles(documents, n). Set sizes stay row-local regardless.
+
+    Plan (r7 optimization, guide §2.3/§2.4): when the df cap is active
+    (the default), the inverted-index SELF-JOIN is replaced by ONE
+    groupBy(shingle) that yields the document frequency AND the sorted
+    member list, and candidate pairs fan out ROW-LOCALLY (i < j over
+    the sorted members — bounded by C(cap, 2) per shingle, the same
+    bound the capped join had). That removes the self-join hash probe,
+    the separate df-frequency aggregation AND its broadcast anti-join:
+    the exploded index is shuffled ONCE instead of three times
+    (measured at sf0.1: the join+count stage alone was 60 task-seconds
+    of 91.6 total; see OPTIMIZATION_r07.md). With max_shingle_docs=None
+    the streaming self-join formulation is kept — an uncapped hot
+    shingle must not be collected into one row. The shingle relation
+    itself comes from ONE persisted per-doc array build
+    (doc_shingle_arrays) shared with the set-size projection."""
+    if shingles is not None:
+        ex = shingles
+        sizes = doc_shingle_counts(documents, n)
+    else:
+        sh_arr = _shared_shingle_arrays(documents, n)
+        ex = sh_arr.select("doc_id", F.explode("shingles").alias("shingle"))
+        sizes = sh_arr.select(
+            "doc_id", F.size("shingles").cast("int").alias("n_sh")
         )
-        .agg(F.count("*").cast("int").alias("n_common"))
-    )
+    if max_shingle_docs is None:
+        a = ex.alias("a")
+        b = ex.alias("b")
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count("*").cast("int").alias("n_common"))
+        )
+    else:
+        grouped = ex.groupBy("shingle").agg(
+            F.count("*").alias("df"), F.collect_list("doc_id").alias("docs")
+        )
+        kept = grouped.filter(
+            (F.col("df") >= 2) & (F.col("df") <= max_shingle_docs)
+        )
+        s1 = kept.select(F.array_sort("docs").alias("ds"))
+        s2 = s1.select("ds", F.posexplode("ds").alias("_i", "doc_a"))
+        s3 = s2.select(
+            "doc_a",
+            F.explode(
+                F.slice("ds", F.col("_i") + 2, F.size("ds"))
+            ).alias("doc_b"),
+        )
+        common = s3.groupBy("doc_a", "doc_b").agg(
+            F.count("*").cast("int").alias("n_common")
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common").cast("double") / (
@@ -298,14 +354,50 @@ def dedup_minhash_lsh(
     relation shared with dedup_ngram_jaccard computes the shingle
     explode + df-cap shuffle once instead of per-query); pass the
     already-capped relation with max_shingle_docs=None, or the raw
-    index to have it capped here. Signature minhashing always shingles
-    inline (a narrow codegen'd explode — the r5 persist A/B showed
-    caching it costs more than recomputing it)."""
-    keys = lsh_band_keys(minhash_signatures(documents))
+    index to have it capped here.
+
+    r7 (guide §1.2/§2.3): without an injected index, ONE persisted
+    per-doc shingle-ARRAY relation (doc_shingle_arrays — 5k rows at
+    sf0.1, cheap to cache) feeds the signature aggregation, the df-cap
+    frequency, the verify probes and the row-local set sizes. The four
+    consumers previously each re-ran the split + per-gram string build
+    from `text` (the r5 "persist costs more" A/B cached the EXPLODED
+    1.5M-row index, not the 5k-row array form; stage profiles showed
+    the rebuild at 7-17 task-seconds per pass — OPTIMIZATION_r07.md)."""
+    if shingles is not None:
+        sig_in = doc_shingles(documents)
+        sh = shingles
+        sizes_all = doc_shingle_counts(documents)
+    else:
+        sh_arr = _shared_shingle_arrays(documents)
+        sig_in = sh_arr.select(
+            "doc_id", F.explode("shingles").alias("shingle")
+        )
+        sh = sig_in
+        sizes_all = sh_arr.select(
+            "doc_id", F.size("shingles").cast("int").alias("n_sh")
+        )
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+        ).alias(f"mh_{i}")
+        for i in range(MINHASH_K)
+    ]
+    keys = lsh_band_keys(sig_in.groupBy("doc_id").agg(*aggs))
     if max_bucket_size is not None:
         keys = cap_hot_buckets(
             keys, ["band", "band_key"], "doc_id", max_bucket_size
         )
+    # keys / cand / the probe-side shingles are each referenced several
+    # times downstream (self-join sides, the cand_docs union, the two
+    # intersection probes). Relying on AQE exchange reuse to collapse
+    # the duplicated subtrees works when they hang off a bare file
+    # scan, but NOT off an InMemoryTableScan (measured r7: the
+    # signature aggregation executed ~20x, 331 task-s vs 45 — see
+    # OPTIMIZATION_r07.md). Persisting these SMALL relations (band
+    # keys ~4 rows/doc, candidate pairs, candidate-doc shingles) makes
+    # each expensive subtree execute exactly once by construction.
+    keys = _cache_keep(keys)
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
         a.join(b, ["band", "band_key"])
@@ -315,7 +407,7 @@ def dedup_minhash_lsh(
         )
         .distinct()
     )
-    sh = shingles if shingles is not None else doc_shingles(documents)
+    cand = _cache_keep(cand)
     if max_shingle_docs is not None:
         sh = df_capped_shingles(sh, max_shingle_docs, broadcast_dropped)
     cand_docs = (
@@ -323,9 +415,9 @@ def dedup_minhash_lsh(
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
+    sh_c = _cache_keep(sh.join(cand_docs, "doc_id", "left_semi"))
     # set sizes row-locally (no explode/shuffle), candidate docs only
-    sizes = doc_shingle_counts(documents).join(cand_docs, "doc_id", "left_semi")
+    sizes = sizes_all.join(cand_docs, "doc_id", "left_semi")
     # intersection per candidate pair: fan doc_a's shingles onto the
     # pair, then probe doc_b's shingles on the composite (doc_b,
     # shingle) key — work is O(|cand| * shingles_per_doc)
@@ -603,6 +695,26 @@ def cache_shared_shingles(documents: DataFrame, n: int = NGRAM) -> DataFrame:
     sh = doc_shingles(documents, n).persist()
     _DEDUP_CACHES.append(sh)
     return sh
+
+
+def _shared_shingle_arrays(documents: DataFrame, n: int = NGRAM) -> DataFrame:
+    """Rotated persisted doc_shingle_arrays relation — the one shingle
+    build a single dedup query's consumers share (r7; see
+    doc_shingle_arrays). Same single-chain-in-flight caveat as the
+    other rotated caches: overlapping queries lose only the reuse."""
+    release_dedup_caches()
+    df = doc_shingle_arrays(documents, n).persist()
+    _DEDUP_CACHES.append(df)
+    return df
+
+
+def _cache_keep(df: DataFrame) -> DataFrame:
+    """Persist WITHOUT rotating the registry — for small intermediates
+    of a query whose head already rotated (_shared_shingle_arrays);
+    released together with it on the next query's rotation."""
+    df = df.persist()
+    _DEDUP_CACHES.append(df)
+    return df
 
 
 CC_MAX_ITERS = 50
