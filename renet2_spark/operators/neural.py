@@ -591,8 +591,17 @@ def neural_score_pairs(
     local doc cache; scores are bitwise identical because score_batch
     evaluates every pair at its own doc shape regardless of batch
     composition (test_forward_all_bitwise_batch_invariance).
-    per_doc=False keeps the per-pair layout for A/B measurement."""
-    tensors = doc_tensors(sentences, mentions)
+    per_doc=False keeps the per-pair layout for A/B measurement.
+
+    r7 (guide §4.1/§2.4): the per_doc path no longer routes the vocab
+    lookup through _tok_ids_join (token posexplode -> 82,948-row
+    broadcast join -> two collect_list shuffles). Sentences are
+    grouped per doc as STRINGS (one shuffle) and the id mapping runs
+    as a plain dict lookup inside the scoring worker — the vocabulary
+    already lives in the shipped package (dictionaries.WORD_INDEX),
+    imported once per worker process. Identical ids by construction
+    (same dict, same OOV fallback, same whitespace split); the frozen
+    row-level golden oracle pins it."""
     # repartition before the UDF: the rows are few/tiny in BYTES so
     # AQE coalesces them to ~1 partition, but scoring is heavy in CPU
     # per row — without this, one python worker scores everything
@@ -605,6 +614,7 @@ def neural_score_pairs(
     )
 
     if not per_doc:
+        tensors = doc_tensors(sentences, mentions)
         joined = pairs.join(tensors, "doc_id").repartition(nparts)
 
         def run_flat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -622,19 +632,38 @@ def neural_score_pairs(
     grouped = pairs.groupBy("doc_id").agg(
         F.collect_list(F.struct(*pair_cols)).alias("_pairs")
     )
-    joined = grouped.join(tensors, "doc_id").repartition(nparts)
+    sents_g = sentences.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sent_no", "sentence"))),
+            lambda s: s["sentence"],
+        ).alias("_sents")
+    )
+    ments_g = mentions.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct("sent_no", "tok_no", "type", "entity_id")
+        ).alias("ments")
+    )
+    doc_payload = sents_g.join(ments_g, "doc_id", "left")
+    joined = grouped.join(doc_payload, "doc_id").repartition(nparts)
     out_cols = [f.name for f in out_schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from renet2_spark.dictionaries import WORD_INDEX
+
+        oov = WORD_INDEX["[X]"]
+        lookup = WORD_INDEX.get
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             cols: dict = {c: [] for c in ("doc_id", "tok_ids", "ments")}
             for c in pair_cols:
                 cols[c] = []
-            for doc_id, t, m, plist in zip(
-                pdf["doc_id"], pdf["tok_ids"], pdf["ments"], pdf["_pairs"]
+            for doc_id, sents, m, plist in zip(
+                pdf["doc_id"], pdf["_sents"], pdf["ments"], pdf["_pairs"]
             ):
+                t = [
+                    [lookup(w, oov) for w in s.split(" ")] for s in sents
+                ]
                 for p in plist:
                     cols["doc_id"].append(doc_id)
                     cols["tok_ids"].append(t)

@@ -84,13 +84,31 @@ def mention_offsets(tagged: DataFrame) -> DataFrame:
 
 
 def tag_mentions(sentences: DataFrame, spark: SparkSession,
-                 entity_dict: DataFrame | None = None) -> DataFrame:
-    """Token-level dictionary tagger: broadcast join tokens x dict."""
+                 entity_dict: DataFrame | None = None,
+                 with_offsets: bool = True) -> DataFrame:
+    """Token-level dictionary tagger: broadcast join tokens x dict.
+
+    with_offsets=False (r7, guide §2.3) omits the char start/end
+    columns: consumers that never read them (the neural scoring chain
+    keys everything by sent_no/tok_no) skip the per-mention prefix
+    string build of mention_offsets AND keep the sentence/offset
+    columns out of the token join entirely."""
     d = entity_dict if entity_dict is not None else entity_dict_df(spark)
     toks = tokenize_sentences(sentences)
+    if not with_offsets:
+        toks = toks.drop("sentence", "offset")
     tagged = toks.join(
         F.broadcast(d), F.lower(toks.token) == d.surface, "inner"
     )
+    if not with_offsets:
+        return tagged.select(
+            "doc_id",
+            "sent_no",
+            "tok_no",
+            F.col("token").alias("mention"),
+            "type",
+            "raw_id",
+        )
     return mention_offsets(tagged).select(
         "doc_id",
         "sent_no",

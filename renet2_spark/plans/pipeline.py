@@ -286,10 +286,20 @@ def build_edges_neural(
     release_pipeline_caches()
     if corpus == "auto":
         corpus = "packed" if probe_corpus_contract(documents) else "raw"
+    # NOTE (r7): a head ingest_parallelism_floor was A/B'd here
+    # (interleaved, same session, sf0.1): plain 3.27s vs floored
+    # 4.07s — the repartition exchange costs more than the serialized
+    # single-task cache builds it parallelizes, consistent with the r6
+    # flagship-chain A/B. The plain scan stays.
     if corpus == "packed":
         sentences = _cache(sentences_direct(documents))
+        # with_offsets=False: this chain keys everything by
+        # sent_no/tok_no — skip the per-mention char-offset prefix
+        # build (guide §2.3: don't compute what you throw away)
         mentions = _cache(
-            canonicalize_mentions(tag_mentions(sentences, spark))
+            canonicalize_mentions(
+                tag_mentions(sentences, spark, with_offsets=False)
+            )
         )
     else:
         from ..operators.tagger import tag_mentions_raw, tokenize_raw_sentences
