@@ -209,7 +209,14 @@ def conv_tables() -> dict:
             F3[:, m, j] = accf
     st = lambda key: np.stack([w[key] for w in ws])
     _TBL = {
-        "W3": W3, "F3": F3, "conv_b": st("conv_b"),
+        "W3": W3, "F3": F3,
+        # per-tap contiguous views for the direct-tap conv (r7): the
+        # conv gathers [.., M, F] per (position, tap) directly instead
+        # of materializing the [.., M, K, F] intermediate and slicing
+        # it — ~3x smaller temporaries, same values
+        "W3j": [np.ascontiguousarray(W3[:, :, j]) for j in range(CONV_K)],
+        "F3j": [np.ascontiguousarray(F3[:, :, j]) for j in range(CONV_K)],
+        "conv_b": st("conv_b"),
         "gru_wx_f": st("gru_wx_f"), "gru_wh_f": st("gru_wh_f"),
         "gru_b_f": st("gru_b_f"),
         "gru_wx_b": st("gru_wx_b"), "gru_wh_b": st("gru_wh_b"),
@@ -248,23 +255,34 @@ def forward_all(tok: np.ndarray, feat: np.ndarray) -> np.ndarray:
     B, S, Tk = tok.shape
     tmask = (tok > 0).astype(np.float32)  # [B,S,T]
     smask = (tmask.sum(axis=2) > 0).astype(np.float32)  # [B,S]
-    # per-position projected contributions, all models/taps in one
-    # gather; masked positions zeroed exactly (proj of zero input = 0)
-    y = (t["W3"][tok] + t["F3"][feat]) * tmask[..., None, None, None]
+    # direct-tap conv (r7): gather each tap's projected contribution
+    # yj = (W3[tok[p+j], :, j] + F3[feat[p+j], :, j]) * tmask[p+j]
+    # straight at window granularity — the same elementwise values in
+    # the same addition order as the former [.., M, K, F] gather +
+    # slice formulation (bitwise identical; exactly-rounded ops), but
+    # without materializing the K axis: ~3x smaller temporaries on the
+    # kernel's memory-traffic bulk. Short rows pad tok/feat/tmask with
+    # zero columns, whose contribution is (table[0] row) * 0.0 — the
+    # windows that could see a sign-of-zero difference all START on a
+    # pad position and are erased by the wmask below.
+    tmask_p = tmask
     if Tk < CONV_K:
-        pad = np.zeros(
-            (B, S, CONV_K - Tk, N_MODELS, CONV_K, CONV_FILTERS),
-            dtype=np.float32,
+        zi = np.zeros((B, S, CONV_K - Tk), dtype=tok.dtype)
+        tok = np.concatenate([tok, zi], axis=2)
+        feat = np.concatenate([feat, zi], axis=2)
+        tmask_p = np.concatenate(
+            [tmask, np.zeros((B, S, CONV_K - Tk), dtype=np.float32)], axis=2
         )
-        y = np.concatenate([y, pad], axis=2)
         Tk = CONV_K
     Tp = Tk - CONV_K + 1
-    conv = (
-        y[:, :, 0:Tp, :, 0]
-        + y[:, :, 1 : Tp + 1, :, 1]
-        + y[:, :, 2 : Tp + 2, :, 2]
-        + t["conv_b"][None, None, None]
-    )
+    conv = None
+    for j in range(CONV_K):
+        sl = slice(j, Tp + j)
+        yj = (
+            t["W3j"][j][tok[:, :, sl]] + t["F3j"][j][feat[:, :, sl]]
+        ) * tmask_p[:, :, sl][..., None, None]
+        conv = yj if conv is None else conv + yj
+    conv = conv + t["conv_b"][None, None, None]
     conv = np.maximum(conv, 0.0)  # [B,S,T',M,F]
     # mask windows that start on padding, then max-pool over tokens
     wmask = tmask[:, :, :Tp]

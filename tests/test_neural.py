@@ -465,6 +465,64 @@ def test_forward_all_bitwise_batch_invariance():
             assert np.array_equal(v, got[k]), k
 
 
+def test_score_batch_matches_forward_all():
+    """r7 shared-conv path: score_batch (per-doc base conv + per-pair
+    affected-sentence re-conv + grouped GRU tail) must be BITWISE
+    equal to the brute per-pair forward_all over build_pair_tensors.
+    Adversarial shapes: short sentences (T < CONV_K), multi-pair docs
+    sharing a doc tensor, several targets per sentence, out-of-bounds
+    mention coordinates, docs with no mentions of one type."""
+    from renet2_spark.dictionaries import VOCAB_SIZE
+    from renet2_spark.operators.neural import build_pair_tensors, forward_all
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(18):
+        n_s = 1 + (i % 6)
+        tok_ids = [
+            [int(rng.randint(1, VOCAB_SIZE)) for _ in range(1 + (i + j) % 9)]
+            for j in range(n_s)
+        ]
+        ments = []
+        for j in range(n_s):
+            ments.append({"sent_no": j, "tok_no": 0, "type": "Gene",
+                          "entity_id": f"g{i}_{j % 3}"})
+            ments.append({"sent_no": j, "tok_no": min(1, len(tok_ids[j]) - 1),
+                          "type": "Disease", "entity_id": f"d{i}_{j % 2}"})
+        # out-of-bounds coordinates must be ignored identically
+        ments.append({"sent_no": 999, "tok_no": 0, "type": "Gene",
+                      "entity_id": "oob"})
+        ments.append({"sent_no": 0, "tok_no": 999, "type": "Disease",
+                      "entity_id": "oob2"})
+        for g in range(2):
+            for d in range(2):
+                rows.append({"doc_id": str(i), "gene_id": f"g{i}_{g}",
+                             "disease_id": f"d{i}_{d}",
+                             "tok_ids": tok_ids, "ments": ments})
+    pdf = pd.DataFrame(rows)
+    got = score_batch(pdf)
+    # the dense reference path: per-pair full (tok, feat) via the
+    # base+target-flip recode (exactly what pre-r7 score_batch built)
+    # through forward_all — the semantics the frozen golden pins
+    from renet2_spark.operators.neural import (
+        FEATURE_TARGET_DISEASE,
+        FEATURE_TARGET_GENE,
+        _doc_cache_entry,
+    )
+
+    for i in range(len(pdf)):
+        tok, base, pos = _doc_cache_entry(
+            pdf.iloc[i]["tok_ids"], pdf.iloc[i]["ments"]
+        )
+        feat = base.copy()
+        for s, tkn in pos.get(("Gene", pdf.iloc[i]["gene_id"]), ()):
+            feat[s, tkn] = FEATURE_TARGET_GENE
+        for s, tkn in pos.get(("Disease", pdf.iloc[i]["disease_id"]), ()):
+            feat[s, tkn] = FEATURE_TARGET_DISEASE
+        want = forward_all(tok[None], feat[None])[0]
+        assert np.array_equal(got[i], want), i
+
+
 @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
 def test_scale_fingerprints_match_testdata(sf):
     """Drift guard for oracles.SCALE_FINGERPRINTS (the corpus probe
