@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .session import local_table
+
 # surface -> raw id emitted by the tagger (pre-normalization)
 GENE_RAW: dict[str, str] = {
     "scan": "1001",
@@ -127,14 +129,16 @@ def normalize_disease_id(raw: str) -> str:
 
 
 def gene_dict_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
+    return local_table(
+        spark,
         [(s, r, GENE_CANON[s]) for s, r in GENE_RAW.items()],
         "surface string, raw_id string, entity_id string",
     )
 
 
 def disease_dict_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
+    return local_table(
+        spark,
         [(s, r, DISEASE_CANON[s]) for s, r in DISEASE_RAW.items()],
         "surface string, raw_id string, entity_id string",
     )
@@ -145,8 +149,9 @@ def entity_dict_df(spark: SparkSession) -> DataFrame:
     rows = [(s, "Gene", r, GENE_CANON[s]) for s, r in GENE_RAW.items()] + [
         (s, "Disease", r, DISEASE_CANON[s]) for s, r in DISEASE_RAW.items()
     ]
-    return spark.createDataFrame(
-        rows, "surface string, type string, raw_id string, entity_id string"
+    return local_table(
+        spark, rows,
+        "surface string, type string, raw_id string, entity_id string",
     )
 
 
@@ -175,7 +180,8 @@ def entity_dict_fused_df(spark: SparkSession) -> DataFrame:
             rows[s] = ("Gene-Disease", f"{d}>-<{rows[s][1]}")
         else:
             rows[s] = ("Disease", d)
-    return spark.createDataFrame(
+    return local_table(
+        spark,
         [(s, t, e) for s, (t, e) in rows.items()],
         "surface string, type string, entity_id string",
     )
@@ -193,6 +199,7 @@ def entity_dict_ext_df(spark: SparkSession) -> DataFrame:
             for s, r in DISEASE_EXT_RAW.items()
         ]
     )
-    return spark.createDataFrame(
-        rows, "surface string, type string, raw_id string, entity_id string"
+    return local_table(
+        spark, rows,
+        "surface string, type string, raw_id string, entity_id string",
     )

@@ -201,7 +201,10 @@ def pack_sequences(
             f"literal {_NULL_SRC!r} source - rename one"
         )
     skey = lambda v: _NULL_SRC if v is None else v
-    src_stats = documents.sparkSession.createDataFrame(
+    from ..session import local_table
+
+    src_stats = local_table(
+        documents.sparkSession,
         [
             (
                 skey(src),

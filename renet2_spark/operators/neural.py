@@ -493,10 +493,10 @@ def _tok_ids_join(sentences: DataFrame, vocab: dict[str, int]) -> DataFrame:
     the vocab ships once per executor as a hash relation instead of an
     82k-branch expression tree. One extra (doc, sent)-keyed shuffle to
     reassemble token order; both shuffle keys are document-uniform."""
+    from ..session import local_table
+
     spark = sentences.sparkSession
-    vdf = spark.createDataFrame(
-        list(vocab.items()), "token string, tok_id int"
-    )
+    vdf = local_table(spark, list(vocab.items()), "token string, tok_id int")
     oov = F.lit(vocab["[X]"])
     toks = sentences.select(
         "doc_id",

@@ -103,17 +103,21 @@ def canonicalize_mentions_by_join(
     (O(MB) broadcast) instead of expression trees. The string surgery
     stays native Catalyst; three broadcast left joins on derived keys
     (null key for the other type -> no match -> passthrough)."""
+    from ..session import local_table
+
     spark = mentions.sparkSession
-    tdf = spark.createDataFrame(
+    tdf = local_table(
+        spark,
         [(k, "|".join(v)) for k, v in transfer.items()] or [("", "")],
         "_tk string, _tv string",
     )
-    odf = spark.createDataFrame(
+    odf = local_table(
+        spark,
         [(f"OMIM:{k}", "|".join(v)) for k, v in omim.items()] or [("", "")],
         "_ok string, _ov string",
     )
-    cdf = spark.createDataFrame(
-        [(c,) for c in sorted(valid_c)] or [("",)], "_ck string"
+    cdf = local_table(
+        spark, [(c,) for c in sorted(valid_c)] or [("",)], "_ck string"
     )
     g0 = F.regexp_replace(F.split(F.col("raw_id"), ";")[0], r"\(.*\)", "")
     d0 = F.regexp_replace(F.col("raw_id"), r"^MESH:", "")

@@ -73,6 +73,52 @@ def doc_pair_candidates(mentions: DataFrame) -> DataFrame:
     )
 
 
+def edge_relations(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(pairs, info) for the flagship edge plan from ONE pass over the
+    mention chain (r7, guide §2.4): both consumers aggregate first by
+    (doc_id, sent_no, type, entity_id) — an IDENTICAL partial-agg +
+    exchange subtree, which AQE stage reuse executes once — and derive
+    their shapes from that relation. Previously sentence_pair_candidates
+    and the two entity_info sides each re-ran the scan+tokenize+tag
+    chain (3 executions of ~4.5 task-s at sf0.1; stage profile in
+    OPTIMIZATION_r07.md). Values are identical to
+    sentence_pair_candidates(mentions) / entity_info(mentions):
+    the per-sentence entity sets, distinct-sentence counts, mention
+    counts and sorted-distinct name joins all commute with the
+    per-sentence pre-aggregation."""
+    m2 = mentions.groupBy("doc_id", "sent_no", "type", "entity_id").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.collect_set("mention").alias("_names"),
+    )
+    per_sent = m2.groupBy("doc_id", "sent_no").agg(
+        F.collect_set(
+            F.when(F.col("type") == "Gene", F.col("entity_id"))
+        ).alias("genes"),
+        F.collect_set(
+            F.when(F.col("type") != "Gene", F.col("entity_id"))
+        ).alias("diseases"),
+    )
+    pairs = (
+        per_sent.select(
+            "doc_id", "sent_no", F.explode("genes").alias("gene_id"), "diseases"
+        )
+        .select(
+            "doc_id", "sent_no", "gene_id",
+            F.explode("diseases").alias("disease_id"),
+        )
+        .groupBy("doc_id", "gene_id", "disease_id")
+        .agg(F.countDistinct("sent_no").cast("int").alias("n_cooc_sents"))
+    )
+    info = m2.groupBy("doc_id", "type", "entity_id").agg(
+        F.sum("_n").cast("int").alias("n_mentions"),
+        F.concat_ws(
+            "|",
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("_names")))),
+        ).alias("name"),
+    )
+    return pairs, info
+
+
 def entity_info(mentions: DataFrame) -> DataFrame:
     """(doc_id, type, entity_id, n_mentions, name) — ONE aggregation
     serving both the scorer's evidence counts and the edge table's

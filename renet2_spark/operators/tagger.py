@@ -190,7 +190,10 @@ def tag_multiword(documents: DataFrame, spark: SparkSession,
     from ..dictionaries import MULTIWORD_DISEASE
 
     if mw_dict is None:
-        mw_dict = spark.createDataFrame(
+        from ..session import local_table
+
+        mw_dict = local_table(
+            spark,
             [(s, "Disease", r) for s, (r, _c) in MULTIWORD_DISEASE.items()],
             "surface string, type string, raw_id string",
         )

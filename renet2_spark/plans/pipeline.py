@@ -150,7 +150,7 @@ def build_edges(
     corpus: str = "auto",
 ) -> DataFrame:
     """documents -> edges (the flagship query)."""
-    from ..operators.pairgen import entity_info, sentence_pair_candidates
+    from ..operators.pairgen import edge_relations
     from ..operators.scorer import score_and_vote
 
     probe = None
@@ -180,9 +180,10 @@ def build_edges(
     # high core counts; fused per-doc HOF arrays: lambda HOFs evaluate
     # interpreted, 2x slower). All shuffle/join keys include doc_id,
     # so hot entities cannot skew any exchange; aggregations are
-    # codegen'd built-ins with map-side partial aggregation.
-    pairs = sentence_pair_candidates(mentions)
-    info = entity_info(mentions)
+    # codegen'd built-ins with map-side partial aggregation. r7: pairs
+    # and info share one (doc, sent, type, entity) pre-aggregation so
+    # the mention chain executes once, not three times (edge_relations).
+    pairs, info = edge_relations(mentions)
     g = info.filter(F.col("type") == "Gene").select(
         "doc_id",
         F.col("entity_id").alias("gene_id"),

@@ -11,7 +11,39 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+
+def local_table(spark: SparkSession, rows, schema) -> DataFrame:
+    """Small driver-side literal table (dictionaries, grids, stats) as
+    a DataFrame via the pandas/Arrow path.
+
+    Why (r7, guide §4.1): `createDataFrame(list)` builds a PYTHON RDD
+    sliced into defaultParallelism partitions, so every materialization
+    — e.g. each BroadcastExchange branch of a plan that joins the
+    table several times — runs ~32 python-worker tasks for a 74-row
+    dictionary. Measured at local[32]: 0.97s per broadcast build vs
+    0.16s through Arrow (stage profile: 3 such builds were 13.7 of
+    kg_edges' 15.8 task-seconds). The Arrow path converts on the
+    driver and ships JVM-side record batches — no executor python.
+    Values/schema are identical (explicit schema, object-dtype
+    passthrough); falls back to the plain path if pandas/Arrow is
+    unavailable."""
+    try:
+        import pandas as pd
+        from pyspark.sql import types as _T
+
+        if isinstance(schema, _T.StructType):
+            names = schema.fieldNames()
+        else:
+            names = [f.split()[0] for f in str(schema).split(",")]
+        rows = list(rows)
+        pdf = pd.DataFrame(
+            (tuple(r) for r in rows), columns=names, dtype=object
+        ) if rows else pd.DataFrame({n: [] for n in names}, dtype=object)
+        return spark.createDataFrame(pdf, schema=schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
 
 
 def get_spark(
