@@ -285,7 +285,7 @@ def load_documents(spark, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def ingest_parallelism_floor(df: DataFrame, spark) -> DataFrame:
+def ingest_parallelism_floor(df: DataFrame, spark, key: str = "doc_id") -> DataFrame:
     """Hash-repartition a low-split scan up to cluster parallelism.
 
     A production corpus has thousands of natural parquet splits, so a
@@ -313,7 +313,7 @@ def ingest_parallelism_floor(df: DataFrame, spark) -> DataFrame:
         return df
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
-        df = df.repartition(target, "doc_id")
+        df = df.repartition(target, key)
     return df
 
 

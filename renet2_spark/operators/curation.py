@@ -63,7 +63,10 @@ _CURATION_CACHES: list[DataFrame] = []
 
 def release_curation_caches() -> None:
     while _CURATION_CACHES:
-        _CURATION_CACHES.pop().unpersist()
+        try:
+            _CURATION_CACHES.pop().unpersist()
+        except Exception:
+            pass  # cache belonged to an already-stopped session
 
 
 def _cache(df: DataFrame) -> DataFrame:

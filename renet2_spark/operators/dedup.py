@@ -508,20 +508,34 @@ def dedup_simhash(documents: DataFrame) -> DataFrame:
     )
 
 
-def cosine(a, b):
-    """Sequential-fold double cosine — bit-compatible with DuckDB's
-    list_cosine_similarity on DOUBLE[]."""
-    dot = F.aggregate(
+def vec_dot(a, b):
+    """Sequential-fold double dot product (bit-compatible with the
+    DuckDB oracle's list fold)."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    norm = lambda v: F.sqrt(
+
+
+def vec_norm(v):
+    """Sequential-fold double L2 norm."""
+    return F.sqrt(
         F.aggregate(
             v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
         )
     )
-    return dot / (norm(a) * norm(b))
+
+
+def cosine(a, b):
+    """Sequential-fold double cosine — bit-compatible with DuckDB's
+    list_cosine_similarity on DOUBLE[]. NOTE (r7): inside a pairwise
+    join, prefer vec_dot(a, b) / (norm_a * norm_b) with the norms
+    precomputed ONCE PER SIDE before the join — this expression
+    recomputes both norms per PAIR (the folds evaluate interpreted),
+    tripling the per-pair work; the quotient is bitwise identical
+    either way (same sub-expressions, same association)."""
+    return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 
 
 def dedup_embedding(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
@@ -529,14 +543,25 @@ def dedup_embedding(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
     pairwise here (oracle-checkable); the scale path buckets by
     random-hyperplane LSH first (similarity.lsh_buckets)."""
     a = embeddings.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        vec_norm(F.col("embedding")).alias("_na"),
     )
     b = embeddings.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        vec_norm(F.col("embedding")).alias("_nb"),
     )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 5))
+        .withColumn(
+            "cos",
+            F.round(
+                vec_dot(F.col("ea"), F.col("eb"))
+                / (F.col("_na") * F.col("_nb")),
+                5,
+            ),
+        )
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
@@ -571,12 +596,27 @@ def dedup_embedding_lsh(
         )
         .distinct()
     )
-    ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    ea = embeddings.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        vec_norm(F.col("embedding")).alias("_na"),
+    )
+    eb = embeddings.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        vec_norm(F.col("embedding")).alias("_nb"),
+    )
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 5))
+        .withColumn(
+            "cos",
+            F.round(
+                vec_dot(F.col("ea"), F.col("eb"))
+                / (F.col("_na") * F.col("_nb")),
+                5,
+            ),
+        )
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
@@ -684,7 +724,10 @@ _DEDUP_CACHES: list[DataFrame] = []
 
 def release_dedup_caches() -> None:
     while _DEDUP_CACHES:
-        _DEDUP_CACHES.pop().unpersist()
+        try:
+            _DEDUP_CACHES.pop().unpersist()
+        except Exception:
+            pass  # cache belonged to an already-stopped session
 
 
 def cache_shared_shingles(documents: DataFrame, n: int = NGRAM) -> DataFrame:

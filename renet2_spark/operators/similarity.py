@@ -21,7 +21,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from .dedup import cosine
+from .dedup import cosine, vec_dot, vec_norm
+
+
+def _floored(embeddings: DataFrame) -> DataFrame:
+    """Scan-parallelism floor for the similarity operators (r7, guide
+    §2.6/§6): the sandbox's single-split embeddings file otherwise
+    runs the whole interpreted-fold cosine work in ONE task (measured:
+    ann_topk_brute spent 0.72 of its 1.4s wall in a single task).
+    No-op on any multi-split input (ingest_parallelism_floor guard)."""
+    from ..corpus import ingest_parallelism_floor
+
+    return ingest_parallelism_floor(
+        embeddings, embeddings.sparkSession, key="vec_id"
+    )
 
 
 def ann_topk_brute(
@@ -31,16 +44,27 @@ def ann_topk_brute(
 ) -> DataFrame:
     """Top-k cosine neighbors for vec_id < n_queries:
     (query_id, rank, neighbor_id, cos). Deterministic tie-break on
-    neighbor id."""
-    q = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    neighbor id. r7: each side's L2 norm is computed ONCE before the
+    pairwise join (the interpreted norm folds used to run per PAIR —
+    3x the per-pair work; dot/(qn*cn) is bitwise identical to the
+    fused cosine: same sub-expressions, same association)."""
+    emb = _floored(embeddings)
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        vec_norm(F.col("embedding")).alias("_qn"),
     )
-    c = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        vec_norm(F.col("embedding")).alias("_cn"),
     )
-    scored = (
-        q.join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qe"), F.col("ne")), 5))
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cos",
+        F.round(
+            vec_dot(F.col("qe"), F.col("ne")) / (F.col("_qn") * F.col("_cn")),
+            5,
+        ),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -190,15 +214,26 @@ def ann_topk_ivf(
         .distinct()
     )
     q = embeddings.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        vec_norm(F.col("embedding")).alias("_qn"),
     )
     c = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        vec_norm(F.col("embedding")).alias("_cn"),
     )
     scored = (
         cand.join(q, "query_id")
         .join(c, "neighbor_id")
-        .withColumn("cos", F.round(cosine(F.col("qe"), F.col("ne")), 5))
+        .withColumn(
+            "cos",
+            F.round(
+                vec_dot(F.col("qe"), F.col("ne"))
+                / (F.col("_qn") * F.col("_cn")),
+                5,
+            ),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -240,15 +275,26 @@ def ann_topk_lsh(
         .distinct()
     )
     q = embeddings.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        vec_norm(F.col("embedding")).alias("_qn"),
     )
     c = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        vec_norm(F.col("embedding")).alias("_cn"),
     )
     scored = (
         cand.join(q, "query_id")
         .join(c, "neighbor_id")
-        .withColumn("cos", F.round(cosine(F.col("qe"), F.col("ne")), 5))
+        .withColumn(
+            "cos",
+            F.round(
+                vec_dot(F.col("qe"), F.col("ne"))
+                / (F.col("_qn") * F.col("_cn")),
+                5,
+            ),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

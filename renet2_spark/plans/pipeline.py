@@ -250,7 +250,10 @@ def release_pipeline_caches() -> None:
     generation of caches; hosts that trigger the action themselves
     (CLI predict) call it explicitly once the action completes."""
     while _NEURAL_CACHES:
-        _NEURAL_CACHES.pop().unpersist()
+        try:
+            _NEURAL_CACHES.pop().unpersist()
+        except Exception:
+            pass  # cache belonged to an already-stopped session
 
 
 def _cache(df: DataFrame) -> DataFrame:

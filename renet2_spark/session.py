@@ -73,6 +73,18 @@ def get_spark(
         # parallel; production deployments override via spark-submit.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE (incl. partition coalescing) apply INSIDE cached-plan
+        # materialization: off, every persisted relation materializes
+        # at the raw shuffle-partition count, so plans that persist
+        # small intermediates (minhash keys/cand, the neural doc
+        # caches) run hundreds of near-empty tasks (r7 A/B, sf0.1
+        # local[32]: minhash 3.49->2.98s, neural 3.67->3.36s with
+        # first-sample 7.3->3.6s). Scale-independent: the flag only
+        # permits AQE to change a cached plan's output partitioning.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
