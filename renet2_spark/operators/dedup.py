@@ -249,9 +249,7 @@ def dedup_ngram_jaccard(
     else:
         sh_arr = _shared_shingle_arrays(documents, n)
         ex = sh_arr.select("doc_id", F.explode("shingles").alias("shingle"))
-        sizes = sh_arr.select(
-            "doc_id", F.size("shingles").cast("int").alias("n_sh")
-        )
+        sizes = sh_arr.select("doc_id", "n_sh")
     if max_shingle_docs is None:
         a = ex.alias("a")
         b = ex.alias("b")
@@ -374,9 +372,7 @@ def dedup_minhash_lsh(
             "doc_id", F.explode("shingles").alias("shingle")
         )
         sh = sig_in
-        sizes_all = sh_arr.select(
-            "doc_id", F.size("shingles").cast("int").alias("n_sh")
-        )
+        sizes_all = sh_arr.select("doc_id", "n_sh")
     aggs = [
         F.min(
             F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
@@ -743,10 +739,18 @@ def cache_shared_shingles(documents: DataFrame, n: int = NGRAM) -> DataFrame:
 def _shared_shingle_arrays(documents: DataFrame, n: int = NGRAM) -> DataFrame:
     """Rotated persisted doc_shingle_arrays relation — the one shingle
     build a single dedup query's consumers share (r7; see
-    doc_shingle_arrays). Same single-chain-in-flight caveat as the
-    other rotated caches: overlapping queries lose only the reuse."""
+    doc_shingle_arrays). Carries a precomputed n_sh column: the
+    columnar cache prunes unread columns, so set-size consumers read
+    the tiny int column instead of decoding the shingle arrays to
+    re-take size() (measured ~3 task-s per pass at sf0.1). Same
+    single-chain-in-flight caveat as the other rotated caches:
+    overlapping queries lose only the reuse."""
     release_dedup_caches()
-    df = doc_shingle_arrays(documents, n).persist()
+    df = (
+        doc_shingle_arrays(documents, n)
+        .withColumn("n_sh", F.size("shingles").cast("int"))
+        .persist()
+    )
     _DEDUP_CACHES.append(df)
     return df
 
