@@ -85,6 +85,14 @@ def get_spark(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
             "true",
         )
+        # allow shuffled-hash join where its size conditions hold
+        # instead of always sorting both sides (guide §3.1/§9; r7
+        # interleaved A/B at sf0.1: kg_edges 1.90->1.72s, neural
+        # 3.62->3.30s, minhash 3.13->2.98s). The planner still only
+        # picks SHJ when the build side fits its per-partition bound,
+        # and AQE can rewrite at runtime; sort-merge remains the
+        # fallback for anything larger.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
