@@ -50,12 +50,23 @@ def test_minhash_verify_is_candidate_restricted(spark):
 
 
 def test_ngram_cap_applies_map_side(spark):
-    """The df cap must be a broadcast ANTI join (map-side drop), not a
-    shuffled semi join of the whole inverted index."""
+    """The df cap must never force a second shuffle of the whole
+    inverted index. r7: the capped path folds the cap INTO the single
+    groupBy(shingle) (a filter on the grouped relation) and fans pairs
+    out row-locally — so the capped plan carries NO anti-join and NO
+    shingle-keyed self-join at all; the uncapped fallback keeps the
+    streaming self-join (a hot shingle must not collect into one
+    row)."""
     from renet2_spark.operators.dedup import dedup_ngram_jaccard
 
     plan = _executed(dedup_ngram_jaccard(_docs(spark)))
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "LeftAnti" not in plan  # cap is a grouped filter now
+    # pair fan-out is generator-based, not a join of the index
+    assert "Generate posexplode" in plan or "PosExplode" in plan
+    uncapped = _executed(
+        dedup_ngram_jaccard(_docs(spark), max_shingle_docs=None)
+    )
+    assert "Join" in uncapped  # streaming self-join retained
 
 
 def test_tool_votes_single_scan(spark):
