@@ -73,6 +73,17 @@ def doc_pair_candidates(mentions: DataFrame) -> DataFrame:
     )
 
 
+_EDGE_CACHES: list[DataFrame] = []
+
+
+def release_edge_caches() -> None:
+    while _EDGE_CACHES:
+        try:
+            _EDGE_CACHES.pop().unpersist()
+        except Exception:
+            pass  # cache belonged to an already-stopped session
+
+
 def edge_relations(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(pairs, info) for the flagship edge plan from ONE pass over the
     mention chain (r7, guide §2.4): both consumers aggregate first by
@@ -90,6 +101,16 @@ def edge_relations(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.count("*").cast("long").alias("_n"),
         F.collect_set("mention").alias("_names"),
     )
+    # persist: Catalyst pushes the downstream type filters below the
+    # aggregation into each branch's dictionary side, so the three
+    # consumers would otherwise still evaluate the whole mention chain
+    # separately (r7 stage profile: 3 x ~0.35s serialized on a 1-split
+    # corpus). The relation is one row per (doc, sent, type, entity) —
+    # far smaller than the corpus; rotated per call like the other
+    # registries (overlapping builds lose only the reuse).
+    release_edge_caches()
+    m2 = m2.persist()
+    _EDGE_CACHES.append(m2)
     per_sent = m2.groupBy("doc_id", "sent_no").agg(
         F.collect_set(
             F.when(F.col("type") == "Gene", F.col("entity_id"))
