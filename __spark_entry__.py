@@ -523,12 +523,18 @@ def q_edges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-memory loop raw.py:1384-1638 made idempotent), and the
     read-back committed stage table must hash-equal kg_edges — proving
     the checkpoint write/read path loses and duplicates nothing."""
+    import os
     import tempfile
 
     from renet2_spark.sources.checkpoint import CheckpointStore
     from renet2_spark.streaming.incremental import run_incremental
 
-    root = tempfile.mkdtemp(prefix="kg_inc_")
+    # checkpoint I/O on the RAM disk when available (r7): the
+    # sandbox's /tmp disk throttles intermittently (BENCH.md r6 —
+    # identical writes vary 3s..69s); a production cluster provisions
+    # local SSD/NVMe or an object store for stage tables
+    tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="kg_inc_", dir=tmp_base)
     store = CheckpointStore(spark, root)
     return run_incremental(
         spark, _docs_plain(spark, sf_dir), store, buckets=8, corpus="packed"
@@ -541,11 +547,13 @@ def q_nodes_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     classpath, parquet otherwise — same layout contract) partitioned
     by entity type, read back via read_table, and must hash-equal the
     directly-computed nodes."""
+    import os
     import tempfile
 
     from renet2_spark.sources.tables import read_table, write_table
 
-    path = tempfile.mkdtemp(prefix="kg_nodes_tbl_") + "/nodes"
+    tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    path = tempfile.mkdtemp(prefix="kg_nodes_tbl_", dir=tmp_base) + "/nodes"
     nodes = pipeline.build_nodes(
         spark, _docs_plain(spark, sf_dir), corpus="packed"
     )

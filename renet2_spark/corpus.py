@@ -306,10 +306,12 @@ def ingest_parallelism_floor(df: DataFrame, spark, key: str = "doc_id") -> DataF
     downstream of that shuffle and pay the extra exchange across
     their probe/checkpoint actions (kg_edges measured ~2x slower with
     a global floor), so pipeline.run keeps the plain scan.
-    SPARK_GRAFT_NO_PAR_FLOOR=1 disables (A/B reproducibility)."""
+    SPARK_GRAFT_NO_PAR_FLOOR=1 disables (A/B reproducibility; r7
+    ADVICE fix — only the documented values disable, so =0 no longer
+    silently disables via string truthiness)."""
     import os
 
-    if os.environ.get("SPARK_GRAFT_NO_PAR_FLOOR"):
+    if os.environ.get("SPARK_GRAFT_NO_PAR_FLOOR", "").lower() in ("1", "true"):
         return df
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):

@@ -240,7 +240,9 @@ def tfidf_topk(
 
     100 TB shape: ONE whitespace explode feeds ONE (doc_id, word)
     partial-aggregated count; doc lengths and document frequencies
-    both derive from that relation (no second scan of the corpus).
+    both derive from that relation. (n_docs itself aggregates the
+    documents relation directly — a cheap count-only scan; r7 ADVICE
+    docstring fix: the old text claimed no second scan at all.)
     The df table is vocabulary-sized — tiny relative to the corpus —
     and joins back broadcast by default; pass broadcast_df=False for
     open-vocabulary corpora whose vocab outgrows broadcast limits and

@@ -46,9 +46,12 @@ def asof_join(
     / newer (forward) than left.on - / + tolerance.
 
     Ties: several right rows sharing (by, on) are resolved
-    deterministically by the largest (backward) / smallest (forward)
-    remaining right column tuple — callers needing a specific
-    tie-break should pre-dedupe, as with pandas merge_asof.
+    deterministically by the LARGEST remaining right column tuple in
+    BOTH directions (the window orders the payload ascending and
+    last() picks the maximum regardless of the ts direction — r7
+    ADVICE docstring fix; behavior unchanged and pinned by the parity
+    tests) — callers needing a specific tie-break should pre-dedupe,
+    as with pandas merge_asof.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")

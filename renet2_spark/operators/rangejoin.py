@@ -41,22 +41,33 @@ def range_join(
 ) -> DataFrame:
     """Inner interval-overlap join: pairs (l, r) sharing every `by`
     key with half-open overlap l.start < r.end AND r.start < l.end.
-    Bounds columns must be numeric (epoch seconds, offsets, ...);
+    Bounds columns must be numeric (epoch seconds, offsets, ...) —
+    fractional bounds are supported (r7 ADVICE fix: bins are true
+    floors of the RAW value, so e.g. (-1.5, -0.2) bins correctly;
+    previously a cast-truncation toward zero ran first and fractional
+    negative bounds could mis-bin and silently drop overlaps).
     `bin_width` is in the same unit. Output: left columns + right
     columns prefixed with `right_prefix`."""
     ls, le = left_bounds
     rs, re_ = right_bounds
     by = list(by)
 
+    def lo_bin(c):
+        # first bin touched: floor(start / width) on the raw value
+        return F.floor(F.col(c) / F.lit(bin_width)).cast("long")
+
+    def hi_bin(c):
+        # last bin touched by the half-open end: ceil(end/width) - 1.
+        # Identical to floor((end-1)/width) for integral ends, and
+        # correct (no truncation) for fractional ones; e > s guarantees
+        # hi >= lo, so the sequence is never descending.
+        return (F.ceil(F.col(c) / F.lit(bin_width)) - 1).cast("long")
+
     def binned(df: DataFrame, s: str, e: str, tag: str) -> DataFrame:
-        # floor (not cast-truncation) so negative bounds bin correctly;
-        # half-open interval: the end bin is the bin containing the
-        # last contained point (end - 1); empty intervals bin nowhere
-        lo = F.floor(F.col(s).cast("long") / bin_width).cast("long")
-        hi = F.floor((F.col(e).cast("long") - 1) / bin_width).cast("long")
+        # empty intervals bin nowhere
         return df.filter(F.col(e) > F.col(s)).select(
             "*",
-            F.explode(F.sequence(lo, hi)).alias(f"__bin_{tag}"),
+            F.explode(F.sequence(lo_bin(s), hi_bin(e))).alias(f"__bin_{tag}"),
         )
 
     lb = binned(left, ls, le, "l")
@@ -71,10 +82,9 @@ def range_join(
     ]
     overlap = (F.col(ls) < F.col(pre)) & (F.col(prs) < F.col(le))
     # keep only the pair's FIRST shared bin: no distinct needed
-    first_shared = F.greatest(
-        F.floor(F.col(ls).cast("long") / bin_width).cast("long"),
-        F.floor(F.col(prs).cast("long") / bin_width).cast("long"),
-    )
+    # (same lo_bin expression as the explode, so the rule and the
+    # fan-out can never disagree — the r7 ADVICE failure mode)
+    first_shared = F.greatest(lo_bin(ls), lo_bin(prs))
     out_cols = [*left.columns, *[f"{right_prefix}{c}" for c in right.columns]]
     return (
         lb.join(rb, cond)

@@ -95,3 +95,29 @@ def test_range_join_matches_bruteforce_random(spark):
     for w in (7, 100, 1000):
         got = _pairs(range_join(ldf, rdf, by=("k",), bin_width=w))
         assert got == expected, f"bin_width={w}"
+
+
+def test_range_join_fractional_bounds(spark):
+    """r7 ADVICE fix: fractional (incl. fractional NEGATIVE) bounds
+    bin on true floors of the raw value — (-1.5,-0.2) vs (-0.9,-0.3)
+    truly overlap and must be emitted exactly once (the old
+    cast-truncation binning silently dropped this pair), and the
+    first-shared-bin dedup rule must agree with the fan-out."""
+    left = spark.createDataFrame(
+        [(1, "a", -1.5, -0.2), (2, "a", 0.25, 0.75), (3, "a", 2.5, 7.5)],
+        "lid int, k string, start double, end double",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "a", -0.9, -0.3),   # overlaps 1 (old binning dropped it)
+            (11, "a", 0.5, 0.6),     # inside 2
+            (12, "a", -0.2, 0.25),   # adjacent to 1 AND 2: no match
+            (13, "a", 7.4, 9.0),     # 0.1-wide overlap with 3
+        ],
+        "rid int, k string, start double, end double",
+    )
+    got = _pairs(range_join(left, right, by=("k",), bin_width=1))
+    assert got == {(1, 10), (2, 11), (3, 13)}
+    # multi-bin fractional pair emitted exactly once
+    rows = range_join(left, right, by=("k",), bin_width=1).collect()
+    assert len(rows) == 3
