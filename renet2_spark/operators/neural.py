@@ -594,6 +594,7 @@ def pair_tensor_digests(
 def neural_score_pairs(
     pairs: DataFrame, sentences: DataFrame, mentions: DataFrame,
     max_sents: int = MAX_SENTS, per_doc: bool = True,
+    sents_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """pairs (doc_id, gene_id, disease_id, ...) -> + probs
     array<double> of the 10-model ensemble; plugs into
@@ -619,7 +620,15 @@ def neural_score_pairs(
     already lives in the shipped package (dictionaries.WORD_INDEX),
     imported once per worker process. Identical ids by construction
     (same dict, same OOV fallback, same whitespace split); the frozen
-    row-level golden oracle pins it."""
+    row-level golden oracle pins it.
+
+    sents_arrays optionally injects the per-doc sentence arrays
+    directly as (doc_id, _sents array<string>) — e.g.
+    corpus.sentence_arrays on a packed corpus, which derives the
+    array ROW-LOCALLY from the document text instead of regrouping
+    the exploded `sentences` relation (guide §2.4: drops a groupBy
+    shuffle + collect_list re-assembly of the full sentence text).
+    Must equal the grouped form: ordered sentence strings per doc."""
     # repartition before the UDF: the rows are few/tiny in BYTES so
     # AQE coalesces them to ~1 partition, but scoring is heavy in CPU
     # per row — without this, one python worker scores everything
@@ -650,12 +659,15 @@ def neural_score_pairs(
     grouped = pairs.groupBy("doc_id").agg(
         F.collect_list(F.struct(*pair_cols)).alias("_pairs")
     )
-    sents_g = sentences.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sent_no", "sentence"))),
-            lambda s: s["sentence"],
-        ).alias("_sents")
-    )
+    if sents_arrays is not None:
+        sents_g = sents_arrays.select("doc_id", "_sents")
+    else:
+        sents_g = sentences.groupBy("doc_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sent_no", "sentence"))),
+                lambda s: s["sentence"],
+            ).alias("_sents")
+        )
     ments_g = mentions.groupBy("doc_id").agg(
         F.collect_list(
             F.struct("sent_no", "tok_no", "type", "entity_id")

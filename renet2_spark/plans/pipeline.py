@@ -295,8 +295,18 @@ def build_edges_neural(
     # 4.07s — the repartition exchange costs more than the serialized
     # single-task cache builds it parallelizes, consistent with the r6
     # flagship-chain A/B. The plain scan stays.
+    sents_arrays = None
     if corpus == "packed":
-        sentences = _cache(sentences_direct(documents))
+        # the doc payload's sentence arrays derive ROW-LOCALLY from
+        # the text (corpus.sentence_arrays) instead of regrouping the
+        # exploded sentences — that leaves the tagger as the exploded
+        # relation's ONLY consumer, so the sentences persist (and its
+        # serial cache-materialization stage) goes too (r7, guide
+        # §2.4; A/B in OPTIMIZATION_r07.md)
+        from ..corpus import sentence_arrays
+
+        sentences = sentences_direct(documents)
+        sents_arrays = sentence_arrays(documents)
         # with_offsets=False: this chain keys everything by
         # sent_no/tok_no — skip the per-mention char-offset prefix
         # build (guide §2.3: don't compute what you throw away)
@@ -336,7 +346,8 @@ def build_edges_neural(
         raise ValueError(f"mode must be abs|ft, got {mode!r}")
     max_sents = MAX_SENTS_FT if mode == "ft" else MAX_SENTS
     scored = neural_score_pairs(pairs, sentences, mentions,
-                                max_sents=max_sents)
+                                max_sents=max_sents,
+                                sents_arrays=sents_arrays)
     hit = F.size(F.filter(F.col("probs"), lambda p: p > F.lit(threshold)))
     prob_avg = F.round(
         F.aggregate(F.col("probs"), F.lit(0.0), lambda a, p: a + p)

@@ -536,3 +536,45 @@ def test_scale_fingerprints_match_testdata(sf):
     ).fetchone()[0]
     assert got == SCALE_FINGERPRINTS[sf]
     assert len(set(SCALE_FINGERPRINTS.values())) == len(SCALE_FINGERPRINTS)
+
+
+def test_sentence_arrays_matches_grouped(spark):
+    """corpus.sentence_arrays (the r7 row-local doc-payload build the
+    packed neural chain injects via neural_score_pairs(sents_arrays=))
+    must equal regrouping sentences_direct's exploded relation per doc
+    — same strings, same order — including the degenerate shapes:
+    empty text (split('', ' ') = ['']), one word, exact 10/11-word
+    boundaries, repeated spaces (empty words), and a many-sentence
+    doc."""
+    from pyspark.sql import functions as F
+
+    from renet2_spark.corpus import sentence_arrays, sentences_direct
+
+    rows = [
+        ("1", ""),
+        ("2", "a"),
+        ("3", " ".join(f"w{i}" for i in range(10))),
+        ("4", " ".join(f"w{i}" for i in range(11))),
+        ("5", "a  b   c"),
+        ("6", " ".join(f"tok{i}" for i in range(137))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: r["_sents"]
+        for r in sentence_arrays(docs).collect()
+    }
+    want = {
+        r["doc_id"]: r["_sents"]
+        for r in sentences_direct(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("sent_no", "sentence"))
+                ),
+                lambda s: s["sentence"],
+            ).alias("_sents")
+        )
+        .collect()
+    }
+    assert got == want
